@@ -20,6 +20,31 @@ def lib() -> ct.CDLL:
 
 
 def _configure(L: ct.CDLL) -> None:
+    L.h264tpu_create.restype = ct.c_void_p
+    L.h264tpu_create.argtypes = [ct.c_uint32]
+    L.h264tpu_destroy.restype = None
+    L.h264tpu_destroy.argtypes = [ct.c_void_p]
+    L.h264tpu_decode.restype = ct.c_uint32
+    L.h264tpu_decode.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_uint32, ct.c_uint32,
+        ct.POINTER(ct.c_uint32),
+    ]
+    L.h264tpu_stream_info.restype = None
+    L.h264tpu_stream_info.argtypes = [
+        ct.c_void_p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
+    L.h264tpu_pic_info.restype = None
+    L.h264tpu_pic_info.argtypes = [
+        ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    L.h264tpu_tensor.restype = ct.c_void_p
+    L.h264tpu_tensor.argtypes = [ct.c_void_p, ct.c_uint32,
+                                 ct.POINTER(ct.c_uint64)]
+    L.h264tpu_next_output.restype = ct.c_uint32
+    L.h264tpu_next_output.argtypes = [
+        ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    L.h264tpu_take_non_existing.restype = ct.c_uint32
+    L.h264tpu_take_non_existing.argtypes = [
+        ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ct.c_uint32]
     L.h264tpu_dev_coeff_token.restype = ct.c_uint32
     L.h264tpu_dev_coeff_token.argtypes = [ct.c_uint32, ct.c_int32]
     L.h264tpu_dev_total_zeros.restype = ct.c_uint32
@@ -47,3 +72,115 @@ def dev_parse_sps(data: bytes) -> dict:
             "max_dpb", "num_ref", "max_frame_num", "poc_type", "level",
             "profile", "cropping"]
     return dict(zip(keys, out.tolist()))
+
+
+# ---- decoder instance wrapper ----
+
+# return codes, reference h264bsd_decoder.h:46-55
+RDY = 0
+PIC_RDY = 1
+HDRS_RDY = 2
+ERROR = 3
+PARAM_SET_ERROR = 4
+MEMALLOC_ERROR = 5
+
+_TENSORS = {
+    # name: (tensor_id, dtype, per-MB shape)
+    "mb_class": (0, np.uint8, ()),
+    "qp_y": (1, np.uint8, ()),
+    "slice_id": (2, np.uint32, ()),
+    "decoded": (3, np.uint8, ()),
+    "disable_dblk": (4, np.uint8, ()),
+    "filter_off_a": (5, np.int8, ()),
+    "filter_off_b": (6, np.int8, ()),
+    "i16_mode": (7, np.uint8, ()),
+    "chroma_mode": (8, np.uint8, ()),
+    "i4_modes": (9, np.uint8, (16,)),
+    "i4_avail": (10, np.uint8, (16,)),
+    "mb_avail": (11, np.uint8, ()),
+    "mv": (12, np.int16, (16, 2)),
+    "ref_slot": (13, np.int8, (16,)),
+    "nnz": (14, np.uint8, (24,)),
+    "nnz_dc": (15, np.uint8, (3,)),
+    "coeff": (16, np.int16, (24, 16)),
+    "luma_dc": (17, np.int16, (16,)),
+    "chroma_dc": (18, np.int16, (8,)),
+}
+
+
+class FrontendDecoder:
+    """Host bitstream front-end instance (C++), reference-equivalent control
+    surface (h264bsd_decoder.h:64-93). Emits per-picture MB tensors for the
+    device reconstruction pipeline."""
+
+    def __init__(self, no_output_reordering: bool = False):
+        self._lib = lib()
+        self._h = self._lib.h264tpu_create(1 if no_output_reordering else 0)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.h264tpu_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def decode(self, data: bytes, pic_id: int = 0) -> tuple[int, int]:
+        """Decode one NAL unit; returns (status, bytes_consumed)."""
+        read = ct.c_uint32(0)
+        status = self._lib.h264tpu_decode(self._h, data, len(data), pic_id,
+                                          ct.byref(read))
+        return status, read.value
+
+    def stream_info(self) -> dict:
+        out = np.zeros(16, np.uint32)
+        self._lib.h264tpu_stream_info(self._h, out)
+        keys = ["width_mbs", "height_mbs", "dpb_slots", "crop_flag",
+                "crop_left", "crop_width", "crop_top", "crop_height",
+                "sar_width", "sar_height", "profile", "full_range"]
+        return dict(zip(keys, out[:12].tolist()))
+
+    def pic_info(self) -> dict:
+        out = np.zeros(12, np.int32)
+        self._lib.h264tpu_pic_info(self._h, out)
+        keys = ["slot", "pic_id", "is_idr", "poc", "frame_num",
+                "num_concealed_mbs", "slice_type", "conceal_from_ref",
+                "conceal_ref_slot"]
+        return dict(zip(keys, out[:9].tolist()))
+
+    def tensor(self, name: str, n_mbs: int) -> np.ndarray:
+        """Copy of a per-frame tensor shaped (n_mbs, *per_mb_shape)."""
+        tid, dtype, shape = _TENSORS[name]
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_tensor(self._h, tid, ct.byref(size))
+        count = size.value // np.dtype(dtype).itemsize
+        buf = (ct.c_char * size.value).from_address(ptr)
+        arr = np.frombuffer(buf, dtype=dtype, count=count).copy()
+        return arr.reshape((n_mbs,) + shape)
+
+    def tensors(self, n_mbs: int) -> dict:
+        return {name: self.tensor(name, n_mbs) for name in _TENSORS}
+
+    def ipcm(self) -> tuple[np.ndarray, np.ndarray]:
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_tensor(self._h, 19, ct.byref(size))
+        if size.value == 0:
+            return np.zeros(0, np.uint32), np.zeros((0, 384), np.uint8)
+        mbs = np.frombuffer((ct.c_char * size.value).from_address(ptr),
+                            dtype=np.uint32).copy()
+        ptr = self._lib.h264tpu_tensor(self._h, 20, ct.byref(size))
+        data = np.frombuffer((ct.c_char * size.value).from_address(ptr),
+                             dtype=np.uint8).copy()
+        return mbs, data.reshape(-1, 384)
+
+    def next_output(self):
+        out = np.zeros(4, np.int32)
+        if not self._lib.h264tpu_next_output(self._h, out):
+            return None
+        return {"slot": int(out[0]), "pic_id": int(out[1]),
+                "is_idr": int(out[2]), "num_err_mbs": int(out[3])}
+
+    def take_non_existing(self) -> list[int]:
+        out = np.zeros(32, np.int32)
+        n = self._lib.h264tpu_take_non_existing(self._h, out, 32)
+        return out[:n].tolist()

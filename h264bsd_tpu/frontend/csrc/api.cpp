@@ -1,16 +1,121 @@
 // Flat C ABI for the host front-end, consumed from Python via ctypes.
-// The full decoder API lives in parser.h/api; the h264tpu_dev_* entry points
-// exist only for unit/parity tests of internal pieces.
+// The h264tpu_dev_* entry points exist only for unit/parity tests of
+// internal pieces; the decoder instance API mirrors the reference surface
+// (h264bsd_decoder.h:64-93) with pixel work delegated to the JAX side.
 
 #include "bitreader.h"
 #include "cavlc.h"
 #include "common.h"
+#include "decoder.h"
 #include "nal.h"
 #include "params.h"
 
 using namespace h264tpu;
 
 extern "C" {
+
+// ---- decoder instance API ----
+
+void* h264tpu_create(u32 no_output_reordering) {
+  return new Decoder(no_output_reordering != 0);
+}
+
+void h264tpu_destroy(void* inst) { delete static_cast<Decoder*>(inst); }
+
+u32 h264tpu_decode(void* inst, const u8* data, u32 len, u32 pic_id,
+                   u32* read_bytes) {
+  return static_cast<Decoder*>(inst)->decode(data, len, pic_id, read_bytes);
+}
+
+// out16: [width_mbs, height_mbs, dpb_slots, crop_flag, crop_left, crop_w,
+//         crop_top, crop_h, sar_w, sar_h, profile, full_range, num_slots]
+void h264tpu_stream_info(void* inst, u32* out16) {
+  Decoder* d = static_cast<Decoder*>(inst);
+  u32 left, width, top, height;
+  bool crop = d->cropping_params(&left, &width, &top, &height);
+  u32 sar_w, sar_h;
+  d->sample_aspect_ratio(&sar_w, &sar_h);
+  out16[0] = d->pic_width_mbs();
+  out16[1] = d->pic_height_mbs();
+  out16[2] = d->dpb_n_slots();
+  out16[3] = crop ? 1 : 0;
+  out16[4] = left; out16[5] = width; out16[6] = top; out16[7] = height;
+  out16[8] = sar_w; out16[9] = sar_h;
+  out16[10] = d->profile();
+  out16[11] = d->video_full_range() ? 1 : 0;
+  out16[12] = d->dpb_n_slots();
+  out16[13] = out16[14] = out16[15] = 0;
+}
+
+// out12: [slot, pic_id, is_idr, poc, frame_num, n_concealed, slice_type,
+//         conceal_from_ref, conceal_ref_slot]
+void h264tpu_pic_info(void* inst, i32* out12) {
+  const PicReadyInfo& p = static_cast<Decoder*>(inst)->pic_info();
+  out12[0] = p.slot;
+  out12[1] = i32(p.pic_id);
+  out12[2] = i32(p.is_idr);
+  out12[3] = p.pic_order_cnt;
+  out12[4] = i32(p.frame_num);
+  out12[5] = i32(p.num_concealed_mbs);
+  out12[6] = i32(p.slice_type);
+  out12[7] = p.conceal_from_ref ? 1 : 0;
+  out12[8] = p.conceal_ref_slot;
+  out12[9] = out12[10] = out12[11] = 0;
+}
+
+// Zero-copy view of a frame tensor; valid until the next h264tpu_decode call
+// that starts a new picture. Returns nullptr for unknown ids.
+const void* h264tpu_tensor(void* inst, u32 tensor_id, u64* size_bytes) {
+  const FrameTensors& t = static_cast<Decoder*>(inst)->tensors();
+  auto ret = [&](const void* p, u64 n) {
+    *size_bytes = n;
+    return p;
+  };
+  switch (tensor_id) {
+    case 0: return ret(t.mb_class.data(), t.mb_class.size());
+    case 1: return ret(t.qp_y.data(), t.qp_y.size());
+    case 2: return ret(t.slice_id.data(), t.slice_id.size() * 4);
+    case 3: return ret(t.decoded.data(), t.decoded.size());
+    case 4: return ret(t.disable_dblk.data(), t.disable_dblk.size());
+    case 5: return ret(t.filter_off_a.data(), t.filter_off_a.size());
+    case 6: return ret(t.filter_off_b.data(), t.filter_off_b.size());
+    case 7: return ret(t.i16_mode.data(), t.i16_mode.size());
+    case 8: return ret(t.chroma_mode.data(), t.chroma_mode.size());
+    case 9: return ret(t.i4_modes.data(), t.i4_modes.size());
+    case 10: return ret(t.i4_avail.data(), t.i4_avail.size());
+    case 11: return ret(t.mb_avail.data(), t.mb_avail.size());
+    case 12: return ret(t.mv.data(), t.mv.size() * 2);
+    case 13: return ret(t.ref_slot.data(), t.ref_slot.size());
+    case 14: return ret(t.nnz.data(), t.nnz.size());
+    case 15: return ret(t.nnz_dc.data(), t.nnz_dc.size());
+    case 16: return ret(t.coeff.data(), t.coeff.size() * 2);
+    case 17: return ret(t.luma_dc.data(), t.luma_dc.size() * 2);
+    case 18: return ret(t.chroma_dc.data(), t.chroma_dc.size() * 2);
+    case 19: return ret(t.ipcm_mb.data(), t.ipcm_mb.size() * 4);
+    case 20: return ret(t.ipcm_data.data(), t.ipcm_data.size());
+    default: *size_bytes = 0; return static_cast<const void*>(nullptr);
+  }
+}
+
+// out4: [slot, pic_id, is_idr, num_err_mbs]; returns 1 when a picture was
+// dequeued, 0 when the display queue is empty.
+u32 h264tpu_next_output(void* inst, i32* out4) {
+  const DpbOutPicture* p = static_cast<Decoder*>(inst)->next_output();
+  if (!p) return 0;
+  out4[0] = p->slot;
+  out4[1] = i32(p->pic_id);
+  out4[2] = i32(p->is_idr);
+  out4[3] = i32(p->num_err_mbs);
+  return 1;
+}
+
+// Drain slots of non-existing frames synthesized since the last call.
+u32 h264tpu_take_non_existing(void* inst, i32* out, u32 max_count) {
+  std::vector<i32> v = static_cast<Decoder*>(inst)->take_new_non_existing();
+  u32 n = std::min(u32(v.size()), max_count);
+  for (u32 i = 0; i < n; ++i) out[i] = v[i];
+  return n;
+}
 
 // ---- dev/test surface ----
 

@@ -105,6 +105,7 @@ _TENSORS = {
     "coeff": (16, np.int16, (24, 16)),
     "luma_dc": (17, np.int16, (16,)),
     "chroma_dc": (18, np.int16, (8,)),
+    "chroma_qp_offset": (21, np.int8, ()),
 }
 
 

@@ -93,6 +93,7 @@ const void* h264tpu_tensor(void* inst, u32 tensor_id, u64* size_bytes) {
     case 18: return ret(t.chroma_dc.data(), t.chroma_dc.size() * 2);
     case 19: return ret(t.ipcm_mb.data(), t.ipcm_mb.size() * 4);
     case 20: return ret(t.ipcm_data.data(), t.ipcm_data.size());
+    case 21: return ret(t.chroma_qp_offset.data(), t.chroma_qp_offset.size());
     default: *size_bytes = 0; return static_cast<const void*>(nullptr);
   }
 }

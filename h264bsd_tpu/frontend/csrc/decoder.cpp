@@ -247,6 +247,7 @@ void Decoder::prepare_concealment(bool /*unused*/) {
       tensors_.disable_dblk[i] = 0;
       tensors_.filter_off_a[i] = 0;
       tensors_.filter_off_b[i] = 0;
+      tensors_.chroma_qp_offset[i] = 0;  // ConcealMb conceal.c:317
       tensors_.decoded[i] = 1;
     }
   }

@@ -220,6 +220,7 @@ void FrameTensors::reset(u32 w_mbs, u32 h_mbs) {
   disable_dblk.assign(n_mbs, 0);
   filter_off_a.assign(n_mbs, 0);
   filter_off_b.assign(n_mbs, 0);
+  chroma_qp_offset.assign(n_mbs, 0);
   i16_mode.assign(n_mbs, 0);
   chroma_mode.assign(n_mbs, 0);
   i4_modes.assign(n_mbs * 16, 0);
@@ -732,6 +733,7 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   out->disable_dblk[addr] = u8(ctx.sh->disable_deblocking_filter_idc);
   out->filter_off_a[addr] = i8(ctx.sh->slice_alpha_c0_offset);
   out->filter_off_b[addr] = i8(ctx.sh->slice_beta_offset);
+  out->chroma_qp_offset[addr] = i8(ctx.pps->chroma_qp_index_offset);
   out->i16_mode[addr] = i16_mode;
   out->chroma_mode[addr] = chroma_mode;
   out->mb_avail[addr] = avail;

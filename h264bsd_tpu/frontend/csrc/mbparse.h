@@ -62,6 +62,7 @@ struct FrameTensors {
   std::vector<u8> disable_dblk;  // [nMB] disable_deblocking_filter_idc
   std::vector<i8> filter_off_a;  // [nMB] (stored *2)
   std::vector<i8> filter_off_b;  // [nMB]
+  std::vector<i8> chroma_qp_offset;  // [nMB] active PPS chromaQpIndexOffset
   std::vector<u8> i16_mode;      // [nMB] 0..3
   std::vector<u8> chroma_mode;   // [nMB] 0..3
   std::vector<u8> i4_modes;      // [nMB*16] final modes, raster blocks

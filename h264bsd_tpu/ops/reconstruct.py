@@ -1,0 +1,103 @@
+"""Whole-frame reconstruction: residual + inter MC + intra prediction + PCM.
+
+Orchestrates the per-frame phase passes that replace the reference's
+per-macroblock interleaved loop (h264bsd_slice_data.c:131-220 driving
+h264bsdDecodeMacroblock macroblock_layer.c:965-1131):
+
+  1. batched dequant+IDCT                     (ops.transform, parallel)
+  2. motion compensation for inter/skip MBs   (ops.inter, parallel)
+  3. prediction+residual+clip combine         (image.c:172 semantics)
+  4. I_PCM raw-sample scatter                 (macroblock_layer.c:992-1022)
+  5. sequential intra pass                    (ops.intra, wavefront-bound)
+
+The output planes are the pre-deblocking picture, bit-exact with the
+reference's currImage before h264bsdFilterPicture.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inter import inter_predict_frame
+from .intra import intra_pass
+from .transform import mb_residual_planes, residual_transform
+
+
+def mb_grid_to_plane(mbs, width_mbs, height_mbs):
+    """(nMB, S, S) -> (height_mbs*S, width_mbs*S)."""
+    s = mbs.shape[-1]
+    x = mbs.reshape(height_mbs, width_mbs, s, s).transpose(0, 2, 1, 3)
+    return x.reshape(height_mbs * s, width_mbs * s)
+
+
+def plane_to_mb_grid(plane, size):
+    h, w = plane.shape
+    x = plane.reshape(h // size, size, w // size, size).transpose(0, 2, 1, 3)
+    return x.reshape(-1, size, size)
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs"))
+def reconstruct_frame(tensors, dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs):
+    """Reconstruct the pre-deblock picture from host tensors + device DPB.
+
+    tensors: dict of jnp arrays (see frontend binding _TENSORS) plus
+    pcm_y (nMB,16,16)/pcm_cb/pcm_cr (nMB,8,8) uint8 raw I_PCM samples
+    (zeros when absent). Returns (y, cb, cr) uint8 planes.
+    """
+    t = tensors
+    mb_class = t["mb_class"].astype(jnp.int32)
+    n_mb = mb_class.shape[0]
+
+    res, _ = residual_transform(
+        t["coeff"].astype(jnp.int32), t["luma_dc"].astype(jnp.int32),
+        t["chroma_dc"].astype(jnp.int32), t["qp_y"].astype(jnp.int32),
+        t["chroma_qp_offset"].astype(jnp.int32), t["nnz"].astype(jnp.int32),
+        t["nnz_dc"].astype(jnp.int32), mb_class == 4)
+    res_l, res_c = mb_residual_planes(res)
+
+    pred_y, pred_cb, pred_cr = inter_predict_frame(
+        dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+        t["ref_slot"].astype(jnp.int32), width_mbs, height_mbs)
+
+    inter_mask = (mb_class == 1) | (mb_class == 2)
+    pcm_mask = mb_class == 5
+    mb_y = jnp.where(inter_mask[:, None, None],
+                     jnp.clip(pred_y + res_l, 0, 255), 0).astype(jnp.uint8)
+    mb_cb = jnp.where(inter_mask[:, None, None],
+                      jnp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
+    mb_cr = jnp.where(inter_mask[:, None, None],
+                      jnp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
+    # I_PCM raw samples land before the intra pass: intra neighbours may
+    # predict from PCM pels (macroblock_layer.c:992-1022 writes them inline)
+    mb_y = jnp.where(pcm_mask[:, None, None], t["pcm_y"], mb_y)
+    mb_cb = jnp.where(pcm_mask[:, None, None], t["pcm_cb"], mb_cb)
+    mb_cr = jnp.where(pcm_mask[:, None, None], t["pcm_cr"], mb_cr)
+
+    y = mb_grid_to_plane(mb_y, width_mbs, height_mbs)
+    cb = mb_grid_to_plane(mb_cb.astype(jnp.uint8), width_mbs, height_mbs)
+    cr = mb_grid_to_plane(mb_cr.astype(jnp.uint8), width_mbs, height_mbs)
+
+    y, cb, cr = intra_pass(
+        y, cb, cr, mb_class, t["i4_modes"].astype(jnp.int32),
+        t["i4_avail"].astype(jnp.int32), t["mb_avail"].astype(jnp.int32),
+        t["i16_mode"].astype(jnp.int32), t["chroma_mode"].astype(jnp.int32),
+        res_l, res_c, width_mbs)
+    return y, cb, cr
+
+
+def build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data):
+    """Host-side: densify the sparse I_PCM list (mb indices + 384-byte blobs)
+    into (nMB,16,16)/(nMB,8,8) uint8 arrays for reconstruct_frame."""
+    pcm_y = np.zeros((n_mbs, 16, 16), np.uint8)
+    pcm_cb = np.zeros((n_mbs, 8, 8), np.uint8)
+    pcm_cr = np.zeros((n_mbs, 8, 8), np.uint8)
+    for i, mb in enumerate(np.asarray(ipcm_mb)):
+        blob = np.asarray(ipcm_data[i], np.uint8)
+        pcm_y[mb] = blob[:256].reshape(16, 16)
+        pcm_cb[mb] = blob[256:320].reshape(8, 8)
+        pcm_cr[mb] = blob[320:].reshape(8, 8)
+    return pcm_y, pcm_cb, pcm_cr

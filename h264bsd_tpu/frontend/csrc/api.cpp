@@ -94,8 +94,24 @@ const void* h264tpu_tensor(void* inst, u32 tensor_id, u64* size_bytes) {
     case 19: return ret(t.ipcm_mb.data(), t.ipcm_mb.size() * 4);
     case 20: return ret(t.ipcm_data.data(), t.ipcm_data.size());
     case 21: return ret(t.chroma_qp_offset.data(), t.chroma_qp_offset.size());
+    case 22: return ret(t.sparse_id.data(), t.sparse_id.size() * 4);
+    case 23: return ret(t.sparse_level.data(), t.sparse_level.size() * 2);
+    case 25: return ret(t.intra_mbs.data(), t.intra_mbs.size() * 4);
+    case 26: return ret(t.slice_table.data(), t.slice_table.size());
+    case 27: return ret(t.mv_exc_id.data(), t.mv_exc_id.size() * 4);
+    case 28: return ret(t.mv_exc_payload.data(), t.mv_exc_payload.size());
+    case 29: return ret(t.intra_payload.data(), t.intra_payload.size());
     default: *size_bytes = 0; return static_cast<const void*>(nullptr);
   }
+}
+
+// Assemble and return the packed per-MB metadata buffer (tensor id 24).
+const void* h264tpu_packed(void* inst, u64* size_bytes) {
+  FrameTensors& t = const_cast<FrameTensors&>(
+      static_cast<Decoder*>(inst)->tensors());
+  t.build_packed();
+  *size_bytes = t.packed.size();
+  return t.packed.data();
 }
 
 // out4: [slot, pic_id, is_idr, num_err_mbs]; returns 1 when a picture was

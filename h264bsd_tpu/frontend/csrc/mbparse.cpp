@@ -243,6 +243,87 @@ void FrameTensors::clear_picture() {
   std::fill(slice_id.begin(), slice_id.end(), 0);
   ipcm_mb.clear();
   ipcm_data.clear();
+  sparse_id.clear();
+  sparse_level.clear();
+  intra_mbs.clear();
+  intra_payload.clear();
+  mv_exc_id.clear();
+  mv_exc_payload.clear();
+  slice_table.clear();
+}
+
+void FrameTensors::build_packed() {
+  // compact 16-byte per-MB record (AoS, device does the SoA split):
+  //   u16 slice_idx | u8 qp | u8 flags(class|disable<<3|avail<<5) |
+  //   u8 modes(i16_mode|chroma<<2) | u8 ref_base | i16 mv_base[2] |
+  //   u32 nnz_mask(bits 0..23 blocks, 24..26 DC)
+  // plus: per-slice table (offsets), sparse MV/ref exceptions for the
+  // ~6% of MBs with per-block motion, sparse intra mode payloads.
+  const u32 n = n_mbs;
+  packed.assign(size_t(n) * 16, 0);
+  slice_table.clear();
+  mv_exc_id.clear();
+  mv_exc_payload.clear();
+  intra_mbs.clear();
+  intra_payload.clear();
+
+  // map picture slice ids to dense table indices
+  std::vector<u16> slice_idx_of;  // indexed by slice_id
+  auto slice_index = [&](u32 i) -> u16 {
+    u32 sid = slice_id[i];
+    if (sid >= slice_idx_of.size()) slice_idx_of.resize(sid + 1, 0xFFFF);
+    if (slice_idx_of[sid] == 0xFFFF) {
+      slice_idx_of[sid] = u16(slice_table.size() / 4);
+      slice_table.push_back(filter_off_a[i]);
+      slice_table.push_back(filter_off_b[i]);
+      slice_table.push_back(chroma_qp_offset[i]);
+      slice_table.push_back(0);
+    }
+    return slice_idx_of[sid];
+  };
+
+  for (u32 i = 0; i < n; ++i) {
+    u8* p = packed.data() + size_t(i) * 16;
+    u16 sidx = slice_index(i);
+    std::memcpy(p, &sidx, 2);
+    p[2] = qp_y[i];
+    // avail bits A|B|D remapped to 3 bits (D: bit 3 -> bit 2)
+    u8 av3 = u8((mb_avail[i] & 3) | ((mb_avail[i] >> 3) << 2));
+    p[3] = u8(mb_class[i] | (disable_dblk[i] << 3) | (av3 << 5));
+    p[4] = u8(i16_mode[i] | (chroma_mode[i] << 2));
+    p[5] = u8(ref_slot[i * 16]);
+    std::memcpy(p + 6, &mv[i * 32], 4);  // block 0 mv
+    u32 mask = 0;
+    for (u32 b = 0; b < 24; ++b) mask |= u32(nnz[i * 24 + b] != 0) << b;
+    mask |= u32(nnz_dc[i * 3 + 0] != 0) << 24;
+    mask |= u32(nnz_dc[i * 3 + 1] != 0) << 25;
+    mask |= u32(nnz_dc[i * 3 + 2] != 0) << 26;
+    std::memcpy(p + 12, &mask, 4);
+
+    // per-block motion exception when any block differs from block 0
+    const i16* m = &mv[i * 32];
+    const i8* r = &ref_slot[i * 16];
+    bool uniform = true;
+    for (u32 b = 1; b < 16 && uniform; ++b) {
+      uniform = m[2 * b] == m[0] && m[2 * b + 1] == m[1] && r[b] == r[0];
+    }
+    if (!uniform) {
+      mv_exc_id.push_back(i);
+      const u8* mb_bytes = reinterpret_cast<const u8*>(m);
+      mv_exc_payload.insert(mv_exc_payload.end(), mb_bytes, mb_bytes + 64);
+      mv_exc_payload.insert(mv_exc_payload.end(),
+                            reinterpret_cast<const u8*>(r),
+                            reinterpret_cast<const u8*>(r) + 16);
+    }
+
+    if (mb_class[i] == kMbIntra4 || mb_class[i] == kMbIntra16) {
+      intra_mbs.push_back(i);
+      intra_payload.insert(intra_payload.end(), &i4_modes[i * 16],
+                           &i4_modes[i * 16] + 16);
+      intra_payload.insert(intra_payload.end(), &i4_avail[i * 16],
+                           &i4_avail[i * 16] + 16);
+    }
+  }
 }
 
 void MbParser::configure(u32 width_mbs, u32 height_mbs) {
@@ -763,27 +844,41 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   const bool is16 = mb_class == kMbIntra16;
   i16* dst = &out->coeff[size_t(addr) * 24 * 16];
   std::memset(dst, 0, 24 * 16 * sizeof(i16));
+  auto sparse_push = [&](u32 b, const i16* vals) {
+    out->sparse_id.push_back(addr * 26 + b);
+    out->sparse_level.insert(out->sparse_level.end(), vals, vals + 16);
+  };
   for (u32 z = 0; z < 16; ++z) {
     if (!cur.total_coeff[z]) continue;
     i16* blk = dst + kZig2Ras[z] * 16;
     const i16* src = levels[z];
     for (u32 s = is16 ? 1 : 0; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
+    sparse_push(kZig2Ras[z], blk);
   }
   for (u32 b = 16; b < 24; ++b) {
     if (!cur.total_coeff[b]) continue;
     i16* blk = dst + b * 16;
     const i16* src = levels[b];
     for (u32 s = 1; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
+    sparse_push(b, blk);
   }
   i16* ldc = &out->luma_dc[addr * 16];
   std::memset(ldc, 0, 16 * sizeof(i16));
   if (is16 && cur.total_coeff[24]) {
     for (u32 s = 0; s < 16; ++s) ldc[kScan2Ras[s]] = levels[24][s];
+    sparse_push(24, ldc);
   }
   i16* cdc = &out->chroma_dc[addr * 8];
   for (u32 i = 0; i < 4; ++i) {
     cdc[i] = levels[25][i];
     cdc[4 + i] = levels[26][i];
+  }
+  bool any_cdc = false;
+  for (u32 i = 0; i < 8; ++i) any_cdc |= cdc[i] != 0;
+  if (any_cdc) {
+    i16 buf[16] = {};
+    std::memcpy(buf, cdc, 8 * sizeof(i16));
+    sparse_push(25, buf);
   }
 }
 

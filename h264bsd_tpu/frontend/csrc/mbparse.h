@@ -78,6 +78,28 @@ struct FrameTensors {
   std::vector<u32> ipcm_mb;      // MB indices with raw PCM samples
   std::vector<u8> ipcm_data;     // 384 bytes per ipcm_mb entry
 
+  // sparse residual stream: one entry per non-empty block. id = mb*26 + b
+  // with b 0..23 = coefficient blocks (raster), 24 = luma DC (16 values),
+  // 25 = chroma DC (8 values, padded to 16). Levels raster-ordered.
+  std::vector<u32> sparse_id;
+  std::vector<i16> sparse_level;  // 16 per entry
+
+  // single-buffer packed per-MB metadata for one-shot host->device
+  // transfer; 16 bytes per MB, see build_packed()
+  std::vector<u8> packed;
+  // per-slice parameter table: one i8[4] row per slice id used this
+  // picture: [filter_off_a, filter_off_b, chroma_qp_offset, 0]
+  std::vector<i8> slice_table;
+  // sparse per-block MV/ref exceptions (MBs whose partitions differ):
+  // id u32 + payload mv i16[16][2] (64B) + ref u8[16]
+  std::vector<u32> mv_exc_id;
+  std::vector<u8> mv_exc_payload;  // 80 bytes per entry
+  // sparse intra payloads aligned with intra_mbs: modes u8[16]+avail u8[16]
+  std::vector<u8> intra_payload;
+  void build_packed();
+  // intra MB list (classes 3/4) in raster order, for the device fast path
+  std::vector<u32> intra_mbs;
+
   void reset(u32 w_mbs, u32 h_mbs);
   void clear_picture();  // new picture: zero decoded state
 };

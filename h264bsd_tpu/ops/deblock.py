@@ -380,3 +380,77 @@ def deblock_frame(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
     yp, cbp, crp = lax.fori_loop(0, n_mb, body, (yp, cbp, crp))
     return (yp[4:, 4:].astype(jnp.uint8), cbp[4:, 4:].astype(jnp.uint8),
             crp[4:, 4:].astype(jnp.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Wavefront-parallel whole-frame pass.
+#
+# Cross-MB dependencies of the standard's raster filtering order: MB(r,c)
+# needs (r,c-1) fully filtered (its vertical edges read the left MB's last
+# columns after that MB's horizontal filtering) and (r-1,c)/(r-1,c+1)
+# (its top edge reads bottom rows also touched by the upper-right MB's
+# left-edge filtering). All three precede (r,c) on anti-diagonals of slope
+# 2 (t = 2r + c), so every diagonal filters in parallel; the 20x20 windows
+# of one diagonal are pairwise disjoint (columns 32 pels apart).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs"))
+def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
+                            disable_dblk, qp_y, filter_off_a, filter_off_b,
+                            chroma_qp_offset, width_mbs, height_mbs):
+    """Same semantics as deblock_frame, 2r+c wavefront schedule."""
+    w, h = width_mbs, height_mbs
+    mb_class = mb_class.astype(jnp.int32)
+
+    bs_left, bs_top = boundary_strengths(
+        mb_class, nnz.astype(jnp.int32), mv.astype(jnp.int32),
+        ref_slot.astype(jnp.int32), slice_id.astype(jnp.int32),
+        disable_dblk.astype(jnp.int32), w, h)
+    l_alpha, l_beta, l_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        w, h, chroma=False)
+    c_alpha, c_beta, c_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        w, h, chroma=True)
+
+    yp = jnp.pad(y.astype(jnp.int32), ((4, 0), (4, 0)))
+    cbp = jnp.pad(cb.astype(jnp.int32), ((4, 0), (4, 0)))
+    crp = jnp.pad(cr.astype(jnp.int32), ((4, 0), (4, 0)))
+
+    max_diag = min(h, w // 2 + 1)
+    n_steps = 2 * (h - 1) + w
+    lane = jnp.arange(max_diag)
+    far = jnp.int32(1 << 28)  # out-of-bounds => scatter mode="drop"
+
+    def step(t, planes):
+        yp, cbp, crp = planes
+        r_lo = jnp.maximum(0, (t - w + 2) // 2)
+        rs = r_lo + lane
+        cs = t - 2 * rs
+        valid = (rs < h) & (cs >= 0) & (cs < w)
+        mbi = jnp.where(valid, rs * w + cs, 0)
+
+        def filt(planes, region_fn, size, scale):
+            plane_i = planes
+            rows = jnp.where(valid, rs * scale, far)[:, None, None] + \
+                jnp.arange(size)[None, :, None]
+            cols = jnp.where(valid, cs * scale, far)[:, None, None] + \
+                jnp.arange(size)[None, None, :]
+            regions = plane_i.at[rows, cols].get(mode="fill", fill_value=0)
+            filtered = region_fn(regions, mbi)
+            return plane_i.at[rows, cols].set(filtered, mode="drop",
+                                              unique_indices=True)
+
+        yp = filt(yp, lambda reg, mbi: jax.vmap(_luma_mb)(
+            reg, bs_left[mbi], bs_top[mbi], l_alpha[mbi], l_beta[mbi],
+            l_tc0[mbi]), 20, 16)
+        chroma_fn = lambda reg, mbi: jax.vmap(_chroma_mb)(
+            reg, bs_left[mbi], bs_top[mbi], c_alpha[mbi], c_beta[mbi],
+            c_tc0[mbi])
+        cbp = filt(cbp, chroma_fn, 12, 8)
+        crp = filt(crp, chroma_fn, 12, 8)
+        return (yp, cbp, crp)
+
+    yp, cbp, crp = lax.fori_loop(0, n_steps, step, (yp, cbp, crp))
+    return (yp[4:, 4:].astype(jnp.uint8), cbp[4:, 4:].astype(jnp.uint8),
+            crp[4:, 4:].astype(jnp.uint8))

@@ -354,3 +354,153 @@ def intra_pass(y_plane, cb_plane, cr_plane, mb_class, i4_modes, i4_avail,
         return lax.cond(is_intra, process, lambda p: p, (y, cb, cr))
 
     return lax.fori_loop(0, n_mbs, body, (y_plane, cb_plane, cr_plane))
+
+
+def intra_pass_list(y_plane, cb_plane, cr_plane, intra_mbs, mb_class,
+                    i4_modes, i4_avail, mb_avail, i16_mode, chroma_mode,
+                    resid_luma, resid_chroma, width_mbs):
+    """Sequential pass over an explicit raster-ordered intra-MB index list
+    (padded with -1). P frames typically carry a handful of intra MBs, so
+    iterating the list instead of the whole MB grid removes the sequential
+    bottleneck from the common path; for K == 0 this is a no-op."""
+    k = intra_mbs.shape[0]
+    n_mbs = mb_class.shape[0]
+    if k == 0:
+        return y_plane, cb_plane, cr_plane
+
+    def body(j, planes):
+        y, cb, cr = planes
+        i = intra_mbs[j]
+        mb_x = (i % width_mbs) * 16
+        mb_y = (i // width_mbs) * 16
+
+        def process(planes):
+            y, cb, cr = planes
+            y = intra_mb_luma(y, mb_x, mb_y, mb_class[i] == 3, i4_modes[i],
+                              i4_avail[i], i16_mode[i], mb_avail[i],
+                              resid_luma[i])
+            cb = intra_mb_chroma(cb, mb_x // 2, mb_y // 2, chroma_mode[i],
+                                 mb_avail[i], resid_chroma[i, 0])
+            cr = intra_mb_chroma(cr, mb_x // 2, mb_y // 2, chroma_mode[i],
+                                 mb_avail[i], resid_chroma[i, 1])
+            return (y, cb, cr)
+
+        return lax.cond((i >= 0) & (i < n_mbs), process, lambda p: p,
+                        (y, cb, cr))
+
+    return lax.fori_loop(0, k, body, (y_plane, cb_plane, cr_plane))
+
+
+# ---------------------------------------------------------------------------
+# Region-based kernels + wavefront pass.
+#
+# Intra dependencies (A left, B above, C above-right, D above-left) are all
+# earlier on anti-diagonals t = 2r + c, the same wavefront as deblocking.
+# A luma region is (17, 21): one neighbour row above (incl. the above-right
+# pels the x=12,y=0 block needs), one neighbour column left, the MB itself;
+# only the inner 16x16 is written back. Regions of one diagonal are
+# pairwise disjoint in their write areas.
+# ---------------------------------------------------------------------------
+
+def intra_region_luma(region, is_i4, i4_modes, i4_avail, i16_mode, mb_avail,
+                      resid_luma):
+    """region: (17, 21) int32; returns the reconstructed (16, 16) int32."""
+
+    def do_i4(region):
+        def block_step(k, region):
+            r = jnp.asarray(ZIG2RAS)[k]
+            x0 = jnp.asarray(BLOCK_X)[r]
+            y0 = jnp.asarray(BLOCK_Y)[r]
+            a = lax.dynamic_slice(region, (y0, x0), (1, 9))[0]
+            lcol = lax.dynamic_slice(region, (y0 + 1, x0), (4, 1))[:, 0]
+            l = jnp.concatenate([a[0][None], lcol])
+            pred = predict_4x4(i4_modes[r], a, l, i4_avail[r])
+            res = lax.dynamic_slice(resid_luma, (y0, x0), (4, 4))
+            out = _clip8(pred + res)
+            return lax.dynamic_update_slice(region, out, (y0 + 1, x0 + 1))
+
+        return lax.fori_loop(0, 16, block_step, region)
+
+    def do_i16(region):
+        above = region[0, 0:17]
+        left = region[1:17, 0]
+        pred = predict_16x16(i16_mode, above, left, mb_avail)
+        out = _clip8(pred + resid_luma)
+        return lax.dynamic_update_slice(region, out, (1, 1))
+
+    region = lax.cond(is_i4, do_i4, do_i16, region)
+    return region[1:17, 1:17]
+
+
+def intra_region_chroma(region, mode, mb_avail, resid):
+    """region: (9, 9) int32; returns reconstructed (8, 8) int32."""
+    above = region[0, 0:9]
+    left = region[1:9, 0]
+    pred = predict_chroma(mode, above, left, mb_avail)
+    return _clip8(pred + resid)
+
+
+def intra_pass_wavefront(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
+                         i4_avail, mb_avail, i16_mode, chroma_mode,
+                         resid_luma, resid_chroma, width_mbs, height_mbs):
+    """Anti-diagonal-parallel intra pass (used for intra-heavy frames)."""
+    w, h = width_mbs, height_mbs
+    yp = y_plane.astype(jnp.int32)
+    cbp = cb_plane.astype(jnp.int32)
+    crp = cr_plane.astype(jnp.int32)
+
+    is_intra = (mb_class == 3) | (mb_class == 4)
+    max_diag = min(h, w // 2 + 1)
+    n_steps = 2 * (h - 1) + w
+    lane = jnp.arange(max_diag)
+    far = jnp.int32(1 << 28)
+
+    def step(t, planes):
+        yp, cbp, crp = planes
+        r_lo = jnp.maximum(0, (t - w + 2) // 2)
+        rs = r_lo + lane
+        cs = t - 2 * rs
+        valid = (rs < h) & (cs >= 0) & (cs < w)
+        mbi = jnp.where(valid, rs * w + cs, 0)
+        act = valid & is_intra[mbi]
+
+        # luma: gather (17, 21) regions with edge-clamped indices (the
+        # off-picture reads feed only unavailable-neighbour paths)
+        H, W = yp.shape
+        gr = jnp.clip(rs[:, None, None] * 16 - 1 +
+                      jnp.arange(17)[None, :, None], 0, H - 1)
+        gc = jnp.clip(cs[:, None, None] * 16 - 1 +
+                      jnp.arange(21)[None, None, :], 0, W - 1)
+        regions = yp[gr, gc]
+        out = jax.vmap(intra_region_luma)(
+            regions, mb_class[mbi] == 3, i4_modes[mbi], i4_avail[mbi],
+            i16_mode[mbi], mb_avail[mbi], resid_luma[mbi])
+        wr = jnp.where(act, rs * 16, far)[:, None, None] + \
+            jnp.arange(16)[None, :, None]
+        wc = jnp.where(act, cs * 16, far)[:, None, None] + \
+            jnp.arange(16)[None, None, :]
+        yp = yp.at[wr, wc].set(out, mode="drop", unique_indices=True)
+
+        # chroma: (9, 9) regions
+        Hc, Wc = cbp.shape
+        grc = jnp.clip(rs[:, None, None] * 8 - 1 +
+                       jnp.arange(9)[None, :, None], 0, Hc - 1)
+        gcc = jnp.clip(cs[:, None, None] * 8 - 1 +
+                       jnp.arange(9)[None, None, :], 0, Wc - 1)
+        wrc = jnp.where(act, rs * 8, far)[:, None, None] + \
+            jnp.arange(8)[None, :, None]
+        wcc = jnp.where(act, cs * 8, far)[:, None, None] + \
+            jnp.arange(8)[None, None, :]
+        outb = jax.vmap(intra_region_chroma)(
+            cbp[grc, gcc], chroma_mode[mbi], mb_avail[mbi],
+            resid_chroma[mbi, 0])
+        cbp = cbp.at[wrc, wcc].set(outb, mode="drop", unique_indices=True)
+        outr = jax.vmap(intra_region_chroma)(
+            crp[grc, gcc], chroma_mode[mbi], mb_avail[mbi],
+            resid_chroma[mbi, 1])
+        crp = crp.at[wrc, wcc].set(outr, mode="drop", unique_indices=True)
+        return (yp, cbp, crp)
+
+    yp, cbp, crp = lax.fori_loop(0, n_steps, step, (yp, cbp, crp))
+    return (yp.astype(jnp.uint8), cbp.astype(jnp.uint8),
+            crp.astype(jnp.uint8))

@@ -101,3 +101,65 @@ def build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data):
         pcm_cb[mb] = blob[256:320].reshape(8, 8)
         pcm_cr[mb] = blob[320:].reshape(8, 8)
     return pcm_y, pcm_cb, pcm_cr
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
+                                   "intra_wavefront"))
+def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
+                           mv_exc_ids, mv_exc_payload, intra_mbs,
+                           intra_payload, pcm_y, pcm_cb, pcm_cr,
+                           dpb_y, dpb_cb, dpb_cr,
+                           width_mbs, height_mbs, intra_wavefront=False):
+    """Transfer-optimized variant: unpack the single metadata buffer and the
+    sparse residual stream on device, then run the same phase passes. The
+    intra stage either iterates the (padded) intra-MB list (sparse intra,
+    typical P frames) or runs the anti-diagonal wavefront (intra-heavy
+    frames), chosen statically by the caller."""
+    from .intra import intra_pass_list, intra_pass_wavefront
+    from .unpack import densify_residual, unpack_meta
+
+    n_mb = width_mbs * height_mbs
+    t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
+                    intra_mbs, intra_payload, n_mb)
+    coeff, luma_dc, chroma_dc = densify_residual(sparse_ids, sparse_levels,
+                                                 n_mb)
+    mb_class = t["mb_class"].astype(jnp.int32)
+
+    res, _ = residual_transform(
+        coeff, luma_dc, chroma_dc, t["qp_y"].astype(jnp.int32),
+        t["chroma_qp_offset"].astype(jnp.int32), t["nnz"].astype(jnp.int32),
+        t["nnz_dc"].astype(jnp.int32), mb_class == 4)
+    res_l, res_c = mb_residual_planes(res)
+
+    pred_y, pred_cb, pred_cr = inter_predict_frame(
+        dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+        t["ref_slot"].astype(jnp.int32), width_mbs, height_mbs)
+
+    inter_mask = (mb_class == 1) | (mb_class == 2)
+    pcm_mask = mb_class == 5
+    mb_y = jnp.where(inter_mask[:, None, None],
+                     jnp.clip(pred_y + res_l, 0, 255), 0).astype(jnp.uint8)
+    mb_cb = jnp.where(inter_mask[:, None, None],
+                      jnp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
+    mb_cr = jnp.where(inter_mask[:, None, None],
+                      jnp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
+    mb_y = jnp.where(pcm_mask[:, None, None], pcm_y, mb_y)
+    mb_cb = jnp.where(pcm_mask[:, None, None], pcm_cb, mb_cb)
+    mb_cr = jnp.where(pcm_mask[:, None, None], pcm_cr, mb_cr)
+
+    y = mb_grid_to_plane(mb_y, width_mbs, height_mbs)
+    cb = mb_grid_to_plane(mb_cb.astype(jnp.uint8), width_mbs, height_mbs)
+    cr = mb_grid_to_plane(mb_cr.astype(jnp.uint8), width_mbs, height_mbs)
+
+    intra_args = (mb_class, t["i4_modes"].astype(jnp.int32),
+                  t["i4_avail"].astype(jnp.int32),
+                  t["mb_avail"].astype(jnp.int32),
+                  t["i16_mode"].astype(jnp.int32),
+                  t["chroma_mode"].astype(jnp.int32), res_l, res_c)
+    if intra_wavefront:
+        y, cb, cr = intra_pass_wavefront(y, cb, cr, *intra_args,
+                                         width_mbs, height_mbs)
+    else:
+        y, cb, cr = intra_pass_list(y, cb, cr, intra_mbs.astype(jnp.int32),
+                                    *intra_args, width_mbs)
+    return y, cb, cr, t

@@ -1,0 +1,90 @@
+"""Device-side unpacking of the host front-end's compact transfer format.
+
+Per frame the host sends (sizes for a typical 1080p P frame):
+  * packed per-MB records, 16 B/MB (~130 KB)  - build_packed(), mbparse.cpp
+  * per-slice parameter table (few rows)
+  * sparse residual stream (~3% density, ~190 KB)
+  * sparse MV/ref exception records (~6% of MBs, ~40 KB)
+  * sparse intra payloads (modes+avail for intra MBs only)
+vs ~9 MB of dense tensors — host->device bandwidth through the chip
+interconnect is the decode pipeline's scarcest resource. Everything is
+re-densified on device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _bitcast(u8s, dtype, per):
+    return lax.bitcast_convert_type(u8s.reshape(u8s.shape[0], -1, per),
+                                    dtype).reshape(u8s.shape[0], -1)
+
+
+def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
+                intra_mbs, intra_payload, n_mbs):
+    """Rebuild the per-MB tensor dict from the compact streams.
+
+    packed: (nMB*16,) u8; slice_table: (S,4) i8; mv_exc_*: sparse per-block
+    motion; intra_*: sparse intra modes. Padding entries use id == n_mbs
+    (scattered into a spare row).
+    """
+    n = n_mbs
+    rec = packed.reshape(n, 16)
+    t = {}
+    t["slice_id"] = _bitcast(rec[:, 0:2], jnp.uint16, 2)[:, 0].astype(jnp.uint32)
+    t["qp_y"] = rec[:, 2]
+    flags = rec[:, 3].astype(jnp.int32)
+    t["mb_class"] = (flags & 7).astype(jnp.uint8)
+    t["disable_dblk"] = ((flags >> 3) & 3).astype(jnp.uint8)
+    av3 = (flags >> 5) & 7
+    t["mb_avail"] = ((av3 & 3) | ((av3 >> 2) << 3)).astype(jnp.int32)
+    modes = rec[:, 4].astype(jnp.int32)
+    t["i16_mode"] = modes & 3
+    t["chroma_mode"] = (modes >> 2) & 3
+    ref_base = rec[:, 5].astype(jnp.int8)
+    mv_base = _bitcast(rec[:, 6:10], jnp.int16, 2)  # (n, 2)
+    nnz_mask = _bitcast(rec[:, 12:16], jnp.uint32, 4)[:, 0]
+    t["nnz"] = ((nnz_mask[:, None] >> jnp.arange(24)[None, :]) & 1).astype(
+        jnp.int32)
+    t["nnz_dc"] = ((nnz_mask[:, None] >> (24 + jnp.arange(3))[None, :]) & 1
+                   ).astype(jnp.int32)
+
+    # per-slice deblock parameters
+    sidx = t["slice_id"].astype(jnp.int32)
+    t["filter_off_a"] = slice_table[sidx, 0]
+    t["filter_off_b"] = slice_table[sidx, 1]
+    t["chroma_qp_offset"] = slice_table[sidx, 2]
+
+    # dense MV/ref: broadcast the base, scatter the exceptions
+    mv = jnp.broadcast_to(mv_base[:, None, :], (n, 16, 2))
+    ref = jnp.broadcast_to(ref_base[:, None], (n, 16))
+    exc_mv = lax.bitcast_convert_type(
+        mv_exc_payload[:, :64].reshape(-1, 16, 2, 2), jnp.int16)
+    exc_ref = mv_exc_payload[:, 64:80].astype(jnp.int8)
+    mv = jnp.concatenate([mv, jnp.zeros((1, 16, 2), mv.dtype)]) \
+        .at[mv_exc_ids].set(exc_mv, mode="drop")[:n]
+    ref = jnp.concatenate([ref, jnp.zeros((1, 16), ref.dtype)]) \
+        .at[mv_exc_ids].set(exc_ref, mode="drop")[:n]
+    t["mv"] = mv
+    t["ref_slot"] = ref
+
+    # dense intra modes/avail from the sparse payloads
+    i4m = jnp.zeros((n + 1, 16), jnp.uint8).at[intra_mbs].set(
+        intra_payload[:, :16], mode="drop")[:n]
+    i4a = jnp.zeros((n + 1, 16), jnp.uint8).at[intra_mbs].set(
+        intra_payload[:, 16:32], mode="drop")[:n]
+    t["i4_modes"] = i4m
+    t["i4_avail"] = i4a
+    return t
+
+
+def densify_residual(sparse_ids, sparse_levels, n_mbs):
+    """Scatter the sparse residual rows into dense (coeff, luma_dc,
+    chroma_dc). Padding entries must carry id == n_mbs*26 (one spare row)."""
+    buf = jnp.zeros((n_mbs * 26 + 1, 16), jnp.int32)
+    buf = buf.at[sparse_ids].set(sparse_levels.astype(jnp.int32),
+                                 mode="drop", unique_indices=True)
+    buf = buf[:n_mbs * 26].reshape(n_mbs, 26, 16)
+    return buf[:, :24], buf[:, 24], buf[:, 25, :8]

@@ -43,6 +43,11 @@ def _configure(L: ct.CDLL) -> None:
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     L.h264tpu_packed.restype = ct.c_void_p
     L.h264tpu_packed.argtypes = [ct.c_void_p, ct.POINTER(ct.c_uint64)]
+    L.h264tpu_blob.restype = ct.c_void_p
+    L.h264tpu_blob.argtypes = [
+        ct.c_void_p, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ct.POINTER(ct.c_uint64)]
     L.h264tpu_take_non_existing.restype = ct.c_uint32
     L.h264tpu_take_non_existing.argtypes = [
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -201,6 +206,27 @@ class FrontendDecoder:
     def intra_list(self) -> np.ndarray:
         """Raster-ordered intra MB indices (valid after packed_meta())."""
         return self._raw(25, np.uint32)
+
+    def blob_counts(self):
+        """[n_sparse, n_exc, n_intra, n_slices] for tier selection; also
+        (re)builds the packed records."""
+        counts = np.zeros(4, np.uint32)
+        size = ct.c_uint64(0)
+        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, counts, ct.byref(size))
+        return counts
+
+    def blob(self, sparse_cap, exc_cap, intra_cap, stab_cap) -> np.ndarray:
+        """Tier-padded single transfer blob (layout: build_blob,
+        mbparse.cpp)."""
+        counts = np.zeros(4, np.uint32)
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_blob(self._h, sparse_cap, exc_cap,
+                                     intra_cap, stab_cap, counts,
+                                     ct.byref(size))
+        buf = (ct.c_char * size.value).from_address(ptr)
+        # copy: the C++ blob buffer is reused by the next frame while this
+        # one may still be in flight to the device
+        return np.frombuffer(buf, dtype=np.uint8).copy()
 
     def slice_table(self) -> np.ndarray:
         return self._raw(26, np.int8).reshape(-1, 4)

@@ -13,7 +13,7 @@ CSRC = Path(__file__).parent / "csrc"
 LIB = Path(__file__).parent / "libh264tpu_frontend.so"
 
 CXXFLAGS = [
-    "-std=c++17", "-O3", "-fPIC", "-shared", "-Wall", "-Wextra",
+    "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared", "-Wall", "-Wextra",
     "-Wno-unused-parameter",
 ]
 

@@ -114,6 +114,27 @@ const void* h264tpu_packed(void* inst, u64* size_bytes) {
   return t.packed.data();
 }
 
+// Build the per-frame transfer blob. out_counts4 (optional pre-query with
+// build == 0): [n_sparse, n_exc, n_intra, n_slices].
+const void* h264tpu_blob(void* inst, u32 sparse_cap, u32 exc_cap,
+                         u32 intra_cap, u32 stab_cap, u32* out_counts4,
+                         u64* size_bytes) {
+  FrameTensors& t = const_cast<FrameTensors&>(
+      static_cast<Decoder*>(inst)->tensors());
+  t.build_packed();
+  out_counts4[0] = u32(t.sparse_id.size());
+  out_counts4[1] = u32(t.mv_exc_id.size());
+  out_counts4[2] = u32(t.intra_mbs.size());
+  out_counts4[3] = u32(t.slice_table.size() / 4);
+  if (sparse_cap == 0) {  // size query only
+    *size_bytes = 0;
+    return nullptr;
+  }
+  t.build_blob(sparse_cap, exc_cap, intra_cap, stab_cap);
+  *size_bytes = t.blob.size();
+  return t.blob.data();
+}
+
 // out4: [slot, pic_id, is_idr, num_err_mbs]; returns 1 when a picture was
 // dequeued, 0 when the display queue is empty.
 u32 h264tpu_next_output(void* inst, i32* out4) {

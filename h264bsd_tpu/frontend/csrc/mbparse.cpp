@@ -326,6 +326,56 @@ void FrameTensors::build_packed() {
   }
 }
 
+void FrameTensors::build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap,
+                              u32 stab_cap) {
+  // layout (every section tier-padded so device offsets are static):
+  //   [0]                packed records        n*16 B
+  //   [A]                slice table           stab_cap*4 (i8)
+  //   [B]                sparse ids            sparse_cap*4 (i32, pad n*26)
+  //   [C]                sparse levels         sparse_cap*32 (i16[16])
+  //   [D]                mv-exception ids      exc_cap*4 (i32, pad n)
+  //   [E]                mv-exception payload  exc_cap*80
+  //   [F]                intra ids             intra_cap*4 (i32, pad n)
+  //   [G]                intra payload         intra_cap*32
+  const u32 n = n_mbs;
+  const size_t sz = size_t(n) * 16 + size_t(stab_cap) * 4 +
+                    size_t(sparse_cap) * 36 + size_t(exc_cap) * 84 +
+                    size_t(intra_cap) * 36;
+  blob.assign(sz, 0);
+  u8* p = blob.data();
+
+  std::memcpy(p, packed.data(), packed.size());
+  p += size_t(n) * 16;
+  std::memcpy(p, slice_table.data(), slice_table.size());
+  p += size_t(stab_cap) * 4;
+
+  i32* ids = reinterpret_cast<i32*>(p);
+  const u32 n_sparse = u32(sparse_id.size());
+  for (u32 i = 0; i < sparse_cap; ++i) {
+    ids[i] = i < n_sparse ? i32(sparse_id[i]) : i32(n * 26);
+  }
+  p += size_t(sparse_cap) * 4;
+  std::memcpy(p, sparse_level.data(), sparse_level.size() * 2);
+  p += size_t(sparse_cap) * 32;
+
+  i32* eids = reinterpret_cast<i32*>(p);
+  const u32 n_exc = u32(mv_exc_id.size());
+  for (u32 i = 0; i < exc_cap; ++i) {
+    eids[i] = i < n_exc ? i32(mv_exc_id[i]) : i32(n);
+  }
+  p += size_t(exc_cap) * 4;
+  std::memcpy(p, mv_exc_payload.data(), mv_exc_payload.size());
+  p += size_t(exc_cap) * 80;
+
+  i32* iids = reinterpret_cast<i32*>(p);
+  const u32 n_intra = u32(intra_mbs.size());
+  for (u32 i = 0; i < intra_cap; ++i) {
+    iids[i] = i < n_intra ? i32(intra_mbs[i]) : i32(n);
+  }
+  p += size_t(intra_cap) * 4;
+  std::memcpy(p, intra_payload.data(), intra_payload.size());
+}
+
 void MbParser::configure(u32 width_mbs, u32 height_mbs) {
   width_mbs_ = width_mbs;
   height_mbs_ = height_mbs;

@@ -97,6 +97,10 @@ struct FrameTensors {
   // sparse intra payloads aligned with intra_mbs: modes u8[16]+avail u8[16]
   std::vector<u8> intra_payload;
   void build_packed();
+  // single tier-padded transfer blob (see build_blob): one host->device
+  // copy per frame instead of eight
+  std::vector<u8> blob;
+  void build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap);
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 

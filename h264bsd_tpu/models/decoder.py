@@ -33,16 +33,18 @@ PARAM_SET_ERROR = fe.PARAM_SET_ERROR
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront"),
-         donate_argnums=(8, 9, 10))
-def _decode_step(packed, slice_table, sparse_ids, sparse_levels,
-                 mv_exc_ids, mv_exc_payload, intra_mbs, intra_payload,
-                 dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
+                                   "intra_wavefront", "caps"))
+def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                  conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
-                 intra_wavefront=False):
+                 caps, intra_wavefront=False):
     """One full frame on device: unpack, reconstruct, conceal, deblock,
-    store. Three host->device buffers per frame (packed metadata, sparse
-    residual stream, intra list) instead of ~19 dense tensors."""
+    store. ONE host->device buffer per frame (tier-padded blob built by the
+    C++ front-end) instead of ~19 dense tensors."""
+    from ..ops.unpack import unpack_blob
+    n_mbs = width_mbs * height_mbs
+    (packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
+     mv_exc_payload, intra_mbs, intra_payload) = unpack_blob(
+        blob, n_mbs, *caps)
     y, cb, cr, tensors = reconstruct_frame_fast(
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
@@ -183,57 +185,60 @@ class Decoder:
                      jnp.zeros((n_slots, h // 2, w // 2), jnp.uint8))
 
     def _reconstruct(self):
-        self._ensure_dpb()
+        self._submit(self._prepare())
+
+    def _prepare(self):
+        """Host-only half of a frame: gather everything the device step
+        needs (no JAX calls — safe to run on a parse-ahead thread)."""
+        g = self._geom or self._fe.stream_info()
+        self._geom = g
         info = self._fe.pic_info()
-        g = self._geom
         w_mbs, h_mbs = g["width_mbs"], g["height_mbs"]
         n_mbs = w_mbs * h_mbs
+        non_existing = self._fe.take_non_existing()
+
+        # tier selection so only a handful of step shapes ever compile;
+        # the C++ side pads every sparse stream into one transfer blob
+        n_sparse, n_exc, n_intra, n_slices = (
+            int(x) for x in self._fe.blob_counts())
+
+        def tier(length, tiers):
+            return next(c for c in tiers if c >= length)
+
+        # powers-of-two tiers: transfer padding is wasted interconnect
+        # bandwidth, so tiers are tight; each new tier compiles once and
+        # lands in the persistent cache
+        cap = tier(n_sparse, tuple(2048 << i for i in range(8)) +
+                   (max(n_mbs * 26, 2048),))
+        ecap = tier(n_exc, tuple(256 << i for i in range(8)) +
+                    (max(n_mbs, 256),))
+        scap = tier(n_slices, (32, max(n_mbs, 32)))
+        # sparse intra (typical P frame) -> padded-list pass; intra-heavy
+        # (I frames) -> anti-diagonal wavefront pass
+        wavefront = n_intra > 512
+        icap = tier(n_intra, (512, n_mbs) if not wavefront else (n_mbs,))
+        blob = self._fe.blob(cap, ecap, icap, scap)
+
+        ipcm = self._fe.ipcm()
+        return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
+                    blob=blob, caps=(cap, ecap, icap, scap),
+                    wavefront=wavefront, ipcm=ipcm,
+                    non_existing=non_existing)
+
+    def _submit(self, prep):
+        """Device half: transfer the blob and dispatch the frame step."""
+        self._ensure_dpb()
+        info = prep["info"]
+        n_mbs = prep["n_mbs"]
 
         # zero-fill slots of synthesized non-existing frames (the reference
         # leaves them as uninitialized malloc memory; we define them)
-        for slot in self._fe.take_non_existing():
+        for slot in prep["non_existing"]:
             y, cb, cr = self._dpb
             self._dpb = (y.at[slot].set(0), cb.at[slot].set(0),
                          cr.at[slot].set(0))
 
-        packed = jnp.asarray(self._fe.packed_meta())
-        stab = self._fe.slice_table()
-        ids, levels = self._fe.sparse_residual()
-        exc_ids, exc_payload = self._fe.mv_exceptions()
-        intra = self._fe.intra_list()
-        ipay = self._fe.intra_payload()
-
-        # pad every sparse stream to fixed tiers so only a handful of step
-        # shapes ever compile. Residual padding rows scatter into the spare
-        # row n_mbs*26; mv/intra padding uses the spare row n_mbs.
-        def tier(length, tiers):
-            return next(c for c in tiers if c >= length)
-
-        def pad_rows(arr, cap, fill=0):
-            if len(arr) >= cap:
-                return arr
-            pad_shape = (cap - len(arr),) + arr.shape[1:]
-            return np.concatenate(
-                [arr, np.full(pad_shape, fill, arr.dtype)])
-
-        cap = tier(len(ids), (16384, 131072, max(n_mbs * 26, 16384)))
-        ids = pad_rows(ids, cap, n_mbs * 26)
-        levels = pad_rows(levels, cap)
-        ecap = tier(len(exc_ids), (2048, max(n_mbs, 2048)))
-        exc_ids = pad_rows(exc_ids, ecap, n_mbs)
-        exc_payload = pad_rows(exc_payload, ecap)
-        scap = tier(len(stab), (32, max(n_mbs, 32)))
-        stab = pad_rows(stab, scap)
-
-        # sparse intra (typical P frame) -> padded-list pass; intra-heavy
-        # (I frames) -> anti-diagonal wavefront pass. Either way the list
-        # also drives the intra modes/avail scatter.
-        wavefront = len(intra) > 512
-        icap = tier(len(intra), (512, n_mbs) if not wavefront else (n_mbs,))
-        intra = pad_rows(intra.astype(np.int64), icap, n_mbs)
-        ipay = pad_rows(ipay, icap)
-
-        ipcm_mb, ipcm_data = self._fe.ipcm()
+        ipcm_mb, ipcm_data = prep["ipcm"]
         if len(ipcm_mb):
             pcm = build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data)
             pcm = tuple(jnp.asarray(p) for p in pcm)
@@ -247,12 +252,10 @@ class Decoder:
 
         y, cb, cr = self._dpb
         self._dpb = _decode_step(
-            packed, jnp.asarray(stab), jnp.asarray(ids.astype(np.int32)),
-            jnp.asarray(levels), jnp.asarray(exc_ids.astype(np.int32)),
-            jnp.asarray(exc_payload), jnp.asarray(intra.astype(np.int32)),
-            jnp.asarray(ipay), y, cb, cr, *pcm,
+            jnp.asarray(prep["blob"]), y, cb, cr, *pcm,
             jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
-            jnp.int32(info["conceal_ref_slot"]), w_mbs, h_mbs, wavefront)
+            jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
+            prep["h_mbs"], prep["caps"], prep["wavefront"])
 
     # -- output ------------------------------------------------------------
 
@@ -262,8 +265,10 @@ class Decoder:
         out = self._fe.next_output()
         if out is None or self._dpb is None:
             return None
+        return self._make_output(out)
+
+    def _make_output(self, out):
         g = self._geom
-        slot = out["slot"]
         crop = (g["crop_left"], g["crop_width"], g["crop_top"],
                 g["crop_height"]) if g["crop_flag"] else \
             (0, g["width_mbs"] * 16, 0, g["height_mbs"] * 16)
@@ -271,7 +276,7 @@ class Decoder:
             pic_id=out["pic_id"], is_idr=bool(out["is_idr"]),
             num_err_mbs=out["num_err_mbs"],
             width=g["width_mbs"] * 16, height=g["height_mbs"] * 16,
-            crop=crop, _dpb=self._dpb, _slot=slot)
+            crop=crop, _dpb=self._dpb, _slot=out["slot"])
 
     # -- metadata (reference decoder.c:771-1105) ---------------------------
 
@@ -296,23 +301,72 @@ class Decoder:
         return bool(self._geom["full_range"])
 
 
-def decode_stream(data: bytes, max_pictures: int | None = None):
+def decode_stream(data: bytes, max_pictures: int | None = None,
+                  pipelined: bool = True):
     """Convenience: full posix-test-app decode loop (reference
-    posix/test_h264bsd.c:146-177). Yields OutputPicture in display order."""
+    posix/test_h264bsd.c:146-177). Yields OutputPicture in display order.
+
+    With pipelined=True the bitstream parse (C++, releases the GIL) runs
+    one frame ahead on a worker thread, overlapping with the previous
+    frame's host->device transfer and dispatch — the double-buffering
+    SURVEY.md §7 step 8 calls for."""
     dec = Decoder()
-    pos = 0
+    if not pipelined:
+        pos = 0
+        n_out = 0
+        while pos < len(data):
+            status, read = dec.decode(data[pos:], pic_id=n_out)
+            pos += read
+            if status == fe.PIC_RDY:
+                while (pic := dec.next_output_picture()) is not None:
+                    yield pic
+                    n_out += 1
+                    if max_pictures is not None and n_out >= max_pictures:
+                        return
+            elif status >= fe.ERROR and read == 0:
+                return
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    counter = {"n": 0}
+
+    def producer():
+        pos = 0
+        while pos < len(data):
+            status, read = dec._fe.decode(data[pos:], counter["n"])
+            pos += read
+            if status == fe.HDRS_RDY:
+                # geometry changes flow through the queue so pending
+                # submits of the previous sequence run against its DPB
+                dec._geom = dec._fe.stream_info()
+                q.put(("reset",))
+            elif status == fe.PIC_RDY:
+                prep = dec._prepare()
+                outs = []
+                while (o := dec._fe.next_output()) is not None:
+                    outs.append(o)
+                counter["n"] += len(outs)
+                q.put((prep, outs))
+            elif status >= fe.ERROR and read == 0:
+                break
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
     n_out = 0
-    while pos < len(data):
-        status, read = dec.decode(data[pos:], pic_id=n_out)
-        pos += read
-        if status == fe.PIC_RDY:
-            while (pic := dec.next_output_picture()) is not None:
-                yield pic
-                n_out += 1
-                if max_pictures is not None and n_out >= max_pictures:
-                    return
-        elif status >= fe.ERROR:
-            if read == 0:
+    while (item := q.get()) is not None:
+        if item[0] == "reset":
+            dec._dpb = None
+            continue
+        prep, outs = item
+        dec._submit(prep)
+        for o in outs:
+            yield dec._make_output(o)
+            n_out += 1
+            if max_pictures is not None and n_out >= max_pictures:
                 return
 
 

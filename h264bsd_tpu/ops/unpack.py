@@ -88,3 +88,31 @@ def densify_residual(sparse_ids, sparse_levels, n_mbs):
                                  mode="drop", unique_indices=True)
     buf = buf[:n_mbs * 26].reshape(n_mbs, 26, 16)
     return buf[:, :24], buf[:, 24], buf[:, 25, :8]
+
+
+def unpack_blob(blob, n_mbs, sparse_cap, exc_cap, intra_cap, stab_cap):
+    """Split the single transfer blob (FrameTensors::build_blob layout)
+    into the eight streams; all offsets are static per tier combo."""
+    n = n_mbs
+    off = 0
+
+    def take(count):
+        nonlocal off
+        out = lax.dynamic_slice_in_dim(blob, off, count)
+        off += count
+        return out
+
+    packed = take(n * 16)
+    stab = lax.bitcast_convert_type(take(stab_cap * 4), jnp.int8) \
+        .reshape(stab_cap, 4)
+    ids = lax.bitcast_convert_type(take(sparse_cap * 4).reshape(-1, 4),
+                                   jnp.int32)
+    levels = lax.bitcast_convert_type(take(sparse_cap * 32).reshape(-1, 16, 2),
+                                      jnp.int16)
+    eids = lax.bitcast_convert_type(take(exc_cap * 4).reshape(-1, 4),
+                                    jnp.int32)
+    epay = take(exc_cap * 80).reshape(-1, 80)
+    iids = lax.bitcast_convert_type(take(intra_cap * 4).reshape(-1, 4),
+                                    jnp.int32)
+    ipay = take(intra_cap * 32).reshape(-1, 32)
+    return packed, stab, ids, levels, eids, epay, iids, ipay

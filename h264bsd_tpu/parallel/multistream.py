@@ -27,8 +27,7 @@ from ..ops.reconstruct import reconstruct_frame_fast
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront"),
-         donate_argnums=(8, 9, 10))
+                                   "intra_wavefront"))
 def _batched_step(packed, slice_table, sparse_ids, sparse_levels,
                   mv_exc_ids, mv_exc_payload, intra_mbs, intra_payload,
                   dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slots,

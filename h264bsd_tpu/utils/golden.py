@@ -69,3 +69,68 @@ def truncate_frame(uncropped_yuv: bytes, name: str) -> bytes:
     of the uncropped picture buffer (reference posix/test_h264bsd.c:55-59)."""
     _, cw, ch, _, _ = STREAMS[name]
     return uncropped_yuv[: cw * ch * 3 // 2]
+
+
+RESILIENT_MAIN = r"""
+/* resilient decode loop: like posix/test_h264bsd.c but continues past
+ * decode errors so the library's concealment paths run (the stock app
+ * exits on the first error). Oracle harness only; built from the
+ * read-only reference tree at test time. */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "h264bsd_decoder.h"
+
+int main(int argc, char** argv) {
+  if (argc != 3) return 2;
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 2;
+  fseek(f, 0, SEEK_END); long size = ftell(f); fseek(f, 0, SEEK_SET);
+  u8* buf = malloc(size);
+  if (fread(buf, 1, size, f) != (size_t)size) return 2;
+  fclose(f);
+  FILE* out = fopen(argv[2], "wb");
+
+  storage_t* dec = h264bsdAlloc();
+  h264bsdInit(dec, 0);
+  u8* ptr = buf; long len = size;
+  u32 readBytes = 0, picId, isIdr, numErrMbs;
+  u32 w = 0, h = 0, cropFlag = 0, left = 0, top = 0;
+  while (len > 0) {
+    u32 result = h264bsdDecode(dec, ptr, (u32)len, 0, &readBytes);
+    len -= readBytes; ptr += readBytes;
+    if (result == H264BSD_PIC_RDY) {
+      u8* pic = h264bsdNextOutputPicture(dec, &picId, &isIdr, &numErrMbs);
+      if (pic && out && w) fwrite(pic, 1, w * h * 3 / 2, out);
+    } else if (result == H264BSD_HDRS_RDY) {
+      h264bsdCroppingParams(dec, &cropFlag, &left, &w, &top, &h);
+      if (!cropFlag) { w = h264bsdPicWidth(dec) * 16; h = h264bsdPicHeight(dec) * 16; }
+    } else if (result == H264BSD_MEMALLOC_ERROR) {
+      break;
+    }
+    /* ERROR / PARAM_SET_ERROR: keep going (readBytes advanced) */
+    if (readBytes == 0 && result != H264BSD_HDRS_RDY &&
+        result != H264BSD_PIC_RDY) break;
+  }
+  h264bsdShutdown(dec);
+  h264bsdFree(dec);
+  if (out) fclose(out);
+  return 0;
+}
+"""
+
+
+def resilient_binary() -> Path:
+    """Reference-based oracle that keeps decoding past errors (exercises
+    concealment); see RESILIENT_MAIN."""
+    WORK.mkdir(parents=True, exist_ok=True)
+    binary = WORK / "resilient_h264bsd"
+    if not binary.exists():
+        main_c = WORK / "resilient_main.c"
+        main_c.write_text(RESILIENT_MAIN)
+        srcs = sorted(str(p) for p in (REFERENCE / "src").glob("*.c"))
+        subprocess.run(
+            ["gcc", "-O2", "-std=gnu99", f"-I{REFERENCE}/src", *srcs,
+             str(main_c), "-o", str(binary)],
+            check=True)
+    return binary

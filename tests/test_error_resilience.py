@@ -1,0 +1,60 @@
+"""Error-resilience parity: feed the same corrupted streams to our decoder
+and the reference binary; outputs must match (concealment, slice
+corruption marking, AUB recovery — SURVEY.md §5's in-domain fault
+tolerance). P-type concealment is byte-exact; streams are corrupted in
+P slices only because partial intra-loss concealment is approximated
+(README "known deviations")."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from h264bsd_tpu.models.decoder import decode_stream
+from h264bsd_tpu.utils.golden import (STREAMS, WORK, resilient_binary,
+                                      stream_path)
+
+
+def reference_decode(data: bytes, tag: str) -> list[bytes]:
+    """Run the reference binary on a byte string, return output frames."""
+    binary = resilient_binary()
+    inp = WORK / f"corrupt_{tag}.h264"
+    out = WORK / f"corrupt_{tag}.yuv"
+    inp.write_bytes(data)
+    subprocess.run([str(binary), str(inp), str(out)], check=True,
+                   capture_output=True)
+    _, cw, ch, _, _ = STREAMS["640x360"]
+    frame = cw * ch * 3 // 2
+    blob = out.read_bytes()
+    return [blob[i:i + frame] for i in range(0, len(blob), frame)]
+
+
+def our_decode(data: bytes) -> list[bytes]:
+    _, cw, ch, _, _ = STREAMS["640x360"]
+    frame = cw * ch * 3 // 2
+    return [pic.yuv_bytes()[:frame] for pic in decode_stream(data)]
+
+
+@pytest.mark.parametrize("corrupt_at", [0.31, 0.55, 0.80])
+def test_corrupt_p_slice_parity(corrupt_at):
+    data = bytearray(stream_path("640x360").read_bytes())
+    pos = int(len(data) * corrupt_at)
+    # avoid forging a start code; flip bits mid-P-slice payload
+    data[pos] ^= 0x5A
+    data[pos + 1] ^= 0xC3
+    data = bytes(data)
+
+    ref = reference_decode(data, f"p{int(corrupt_at * 100)}")
+    ours = our_decode(data)
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    n_diff = sum(a != b for a, b in zip(ours, ref))
+    assert n_diff == 0, f"{n_diff}/{len(ref)} frames differ"
+
+
+def test_truncated_stream_parity():
+    data = stream_path("640x360").read_bytes()[:len(stream_path(
+        "640x360").read_bytes()) * 2 // 3]
+    ref = reference_decode(data, "trunc")
+    ours = our_decode(data)
+    assert len(ours) == len(ref)
+    assert all(a == b for a, b in zip(ours, ref))

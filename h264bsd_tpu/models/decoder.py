@@ -90,6 +90,43 @@ def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
     return dpb_y, dpb_cb, dpb_cr
 
 
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
+                                   "intra_wavefront", "caps"))
+def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
+                     width_mbs, height_mbs, caps, intra_wavefront=False):
+    """Error path, stage 1: reconstruct the decoded MBs only (no
+    concealment/deblocking) so the exact spiral concealment can run on
+    host between the stages."""
+    from ..ops.unpack import unpack_blob
+    n_mbs = width_mbs * height_mbs
+    (packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
+     mv_exc_payload, intra_mbs, intra_payload) = unpack_blob(
+        blob, n_mbs, *caps)
+    y, cb, cr, _ = reconstruct_frame_fast(
+        packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
+        mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
+        dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront)
+    return y, cb, cr
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps"))
+def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
+                        width_mbs, height_mbs, caps):
+    """Error path, stage 2: deblock the concealed picture and store it."""
+    from ..ops.unpack import unpack_blob, unpack_meta
+    n_mbs = width_mbs * height_mbs
+    (packed, slice_table, _, _, mv_exc_ids, mv_exc_payload, intra_mbs,
+     intra_payload) = unpack_blob(blob, n_mbs, *caps)
+    t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
+                    intra_mbs, intra_payload, n_mbs)
+    y, cb, cr = deblock_frame(
+        y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
+        t["slice_id"], t["disable_dblk"], t["qp_y"], t["filter_off_a"],
+        t["filter_off_b"], t["chroma_qp_offset"], width_mbs, height_mbs)
+    return (dpb_y.at[slot].set(y), dpb_cb.at[slot].set(cb),
+            dpb_cr.at[slot].set(cr))
+
+
 @partial(jax.jit, static_argnames=("full_range",))
 def _to_rgba(y, cb, cr, full_range=False):
     """BT.601 fixed-point YUV->RGBA (reference h264bsdConvertToRGBA
@@ -250,12 +287,42 @@ class Decoder:
                                   jnp.zeros((n_mbs, 8, 8), jnp.uint8))
             pcm = self._zero_pcm
 
+        n_conc = info["num_concealed_mbs"]
+        partial_loss = 0 < n_conc < n_mbs
+        # partial loss without a usable reference needs the reference's
+        # sequential neighbour-DC synthesis (exact spiral, host-side);
+        # partial P-type loss with a reference and all whole-picture cases
+        # stay on the fast device path (both exact)
+        needs_exact = partial_loss and (
+            not info["conceal_from_ref"] or info["conceal_ref_slot"] < 0)
+
         y, cb, cr = self._dpb
-        self._dpb = _decode_step(
-            jnp.asarray(prep["blob"]), y, cb, cr, *pcm,
-            jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
-            jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
-            prep["h_mbs"], prep["caps"], prep["wavefront"])
+        blob = jnp.asarray(prep["blob"])
+        if needs_exact:
+            from ..ops.conceal import conceal_picture
+            ry, rcb, rcr = _recon_only_step(
+                blob, y, cb, cr, *pcm, prep["w_mbs"], prep["h_mbs"],
+                prep["caps"], prep["wavefront"])
+            yn = np.asarray(ry).copy()
+            cbn = np.asarray(rcb).copy()
+            crn = np.asarray(rcr).copy()
+            # derive from the frame's own blob (the parser may already be
+            # ahead on the pipelined producer thread)
+            mb_class = prep["blob"][:n_mbs * 16].reshape(n_mbs, 16)[:, 3] & 7
+            decoded = mb_class != 6
+            conceal_picture(yn, cbn, crn, decoded, prep["w_mbs"],
+                            prep["h_mbs"], bool(info["conceal_from_ref"]),
+                            None)
+            self._dpb = _deblock_store_step(
+                jnp.asarray(yn), jnp.asarray(cbn), jnp.asarray(crn), blob,
+                y, cb, cr, jnp.int32(info["slot"]), prep["w_mbs"],
+                prep["h_mbs"], prep["caps"])
+        else:
+            self._dpb = _decode_step(
+                blob, y, cb, cr, *pcm,
+                jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
+                jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
+                prep["h_mbs"], prep["caps"], prep["wavefront"])
 
     # -- output ------------------------------------------------------------
 

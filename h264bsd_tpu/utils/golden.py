@@ -101,6 +101,7 @@ int main(int argc, char** argv) {
     len -= readBytes; ptr += readBytes;
     if (result == H264BSD_PIC_RDY) {
       u8* pic = h264bsdNextOutputPicture(dec, &picId, &isIdr, &numErrMbs);
+      fprintf(stderr, "pic errMbs=%u\n", numErrMbs);
       if (pic && out && w) fwrite(pic, 1, w * h * 3 / 2, out);
     } else if (result == H264BSD_HDRS_RDY) {
       h264bsdCroppingParams(dec, &cropFlag, &left, &w, &top, &h);

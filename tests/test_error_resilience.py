@@ -1,9 +1,8 @@
 """Error-resilience parity: feed the same corrupted streams to our decoder
 and the reference binary; outputs must match (concealment, slice
 corruption marking, AUB recovery — SURVEY.md §5's in-domain fault
-tolerance). P-type concealment is byte-exact; streams are corrupted in
-P slices only because partial intra-loss concealment is approximated
-(README "known deviations")."""
+tolerance). Covers P-type concealment (co-located reference copy) and
+I-type partial loss (sequential neighbour-DC spiral synthesis)."""
 
 import subprocess
 
@@ -58,3 +57,24 @@ def test_truncated_stream_parity():
     ours = our_decode(data)
     assert len(ours) == len(ref)
     assert all(a == b for a, b in zip(ours, ref))
+
+
+@pytest.mark.parametrize("offset", [3000, 12000])
+def test_corrupt_idr_slice_parity(offset):
+    """Corrupting the first IDR slice forces the intra neighbour-synthesis
+    concealment spiral (ConcealMb conceal.c:378-590)."""
+    data = bytearray(stream_path("640x360").read_bytes())
+    data[offset] ^= 0x7F
+    data[offset + 5] ^= 0x33
+    data = bytes(data)
+
+    ref = reference_decode(data, f"idr{offset}")
+    ours = our_decode(data)
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        if a != b:
+            d = np.frombuffer(a, np.uint8).astype(int) - \
+                np.frombuffer(b, np.uint8).astype(int)
+            raise AssertionError(
+                f"frame {i}: {np.count_nonzero(d)} differing bytes, "
+                f"max |diff| {np.abs(d).max()}")

@@ -454,3 +454,239 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
     yp, cbp, crp = lax.fori_loop(0, n_steps, step, (yp, cbp, crp))
     return (yp[4:, 4:].astype(jnp.uint8), cbp[4:, 4:].astype(jnp.uint8),
             crp[4:, 4:].astype(jnp.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Skewed wavefront: MB (r, c) is stored at skewed MB column c + 2r, which
+# turns every slope-2 anti-diagonal {2r + c == t} into the single skewed
+# column t. Each wavefront step then works on rectangular column slabs
+# (dynamic slices, no gathers):
+#   * vertical edges: slab t plus a 4-column halo from slab t-1 (the left
+#     neighbour (r, c-1) sits at skew column t-1 in the same pixel rows)
+#   * horizontal edges: the top-edge p-pels come from slab t-2 (the above
+#     neighbour (r-1, c) sits at skew column t-2, same pixel rows)
+# Invalid lanes (t-2r outside the picture) carry bS == 0 in the skewed
+# bS arrays, so their lanes no-op automatically.
+# ---------------------------------------------------------------------------
+
+def _skew_plane(plane, mb_size, width_mbs, height_mbs):
+    h, w = height_mbs, width_mbs
+    wsk = (w + 2 * (h - 1)) * mb_size
+    out = jnp.zeros((h * mb_size, wsk), plane.dtype)
+    for r in range(h):
+        band = lax.dynamic_slice(plane, (r * mb_size, 0),
+                                 (mb_size, w * mb_size))
+        out = lax.dynamic_update_slice(out, band,
+                                       (r * mb_size, 2 * r * mb_size))
+    return out
+
+
+def _unskew_plane(sk, mb_size, width_mbs, height_mbs):
+    h, w = height_mbs, width_mbs
+    rows = []
+    for r in range(h):
+        rows.append(lax.dynamic_slice(
+            sk, (r * mb_size, 2 * r * mb_size), (mb_size, w * mb_size)))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _skew_mb_array(arr, width_mbs, height_mbs):
+    """(nMB, ...) -> (h, w + 2(h-1), ...) with zeros outside the picture."""
+    h, w = height_mbs, width_mbs
+    wsk = w + 2 * (h - 1)
+    a = arr.reshape((h, w) + arr.shape[1:])
+    out = jnp.zeros((h, wsk) + arr.shape[1:], arr.dtype)
+    for r in range(h):
+        out = out.at[r, 2 * r:2 * r + w].set(a[r])
+    return out
+
+
+def _expand_rows(per_mb_row, reps):
+    """(h, k) -> (h*k*reps,) repeating each value reps times."""
+    return jnp.repeat(per_mb_row.reshape(-1), reps)
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs"))
+def deblock_frame_skewed(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
+                         disable_dblk, qp_y, filter_off_a, filter_off_b,
+                         chroma_qp_offset, width_mbs, height_mbs):
+    """Same semantics as deblock_frame; wavefront over skewed columns."""
+    w, h = width_mbs, height_mbs
+    H = h * 16
+    mb_class = mb_class.astype(jnp.int32)
+
+    bs_left, bs_top = boundary_strengths(
+        mb_class, nnz.astype(jnp.int32), mv.astype(jnp.int32),
+        ref_slot.astype(jnp.int32), slice_id.astype(jnp.int32),
+        disable_dblk.astype(jnp.int32), w, h)
+    l_alpha, l_beta, l_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        w, h, chroma=False)
+    c_alpha, c_beta, c_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        w, h, chroma=True)
+
+    bsl = _skew_mb_array(bs_left, w, h)       # (h, wsk, 16)
+    bst = _skew_mb_array(bs_top, w, h)
+    lal = _skew_mb_array(l_alpha, w, h)       # (h, wsk, 3)
+    lbe = _skew_mb_array(l_beta, w, h)
+    ltc = _skew_mb_array(l_tc0, w, h)         # (h, wsk, 3, 3)
+    cal = _skew_mb_array(c_alpha, w, h)
+    cbe = _skew_mb_array(c_beta, w, h)
+    ctc = _skew_mb_array(c_tc0, w, h)
+
+    ysk = _skew_plane(y.astype(jnp.int32), 16, w, h)
+    cbsk = _skew_plane(cb.astype(jnp.int32), 8, w, h)
+    crsk = _skew_plane(cr.astype(jnp.int32), 8, w, h)
+    n_steps = 2 * (h - 1) + w
+
+    def mb_col(arr, t):
+        return lax.dynamic_slice_in_dim(arr, t, 1, axis=1)[:, 0]
+
+    def luma_step(t, ysk):
+        bsl_t = mb_col(bsl, t)               # (h, 16)
+        bst_t = mb_col(bst, t)
+        al_t = mb_col(lal, t)                # (h, 3)
+        be_t = mb_col(lbe, t)
+        tc_t = mb_col(ltc, t)                # (h, 3, 3)
+
+        # ---- vertical edges: slab t with a 4-col halo from slab t-1 ----
+        halo_at = jnp.maximum(t - 1, 0) * 16 + 12
+        halo = lax.dynamic_slice(ysk, (0, halo_at), (H, 4))
+        blk = lax.dynamic_slice(ysk, (0, t * 16), (H, 16))
+        cols = jnp.concatenate([halo, blk], axis=1)    # (H, 20)
+
+        for e in range(4):
+            x = 4 + 4 * e
+            cls = 2 if e == 0 else 0
+            bs_rows = _expand_rows(bsl_t[:, [e, 4 + e, 8 + e, 12 + e]], 4)
+            al_rows = jnp.repeat(al_t[:, cls], 16)
+            be_rows = jnp.repeat(be_t[:, cls], 16)
+            tc_r = jnp.repeat(tc_t[:, cls], 16, axis=0)       # (H, 3)
+            tcv = jnp.take_along_axis(
+                tc_r, jnp.clip(bs_rows - 1, 0, 2)[:, None], axis=1)[:, 0]
+            p = cols[:, x - 4:x][:, ::-1]
+            q = cols[:, x:x + 4]
+            p, q = _filter_luma_edge(p, q, bs_rows, al_rows, be_rows, tcv)
+            cols = lax.dynamic_update_slice(
+                cols, jnp.concatenate([p[:, ::-1], q], axis=1), (0, x - 4))
+
+        ysk = lax.dynamic_update_slice(ysk, cols[:, 0:4], (0, halo_at))
+        ysk = lax.dynamic_update_slice(ysk, cols[:, 4:20], (0, t * 16))
+
+        # ---- horizontal edges ----
+        slab = lax.dynamic_slice(ysk, (0, t * 16), (H, 16)).reshape(h, 16, 16)
+        m2_at = jnp.maximum(t - 2, 0) * 16
+        slab2 = lax.dynamic_slice(ysk, (0, m2_at), (H, 16)).reshape(h, 16, 16)
+
+        for v in range(4):
+            cls = 1 if v == 0 else 0
+            # per-column bs: column x uses bs_top[v*4 + x//4]
+            bs_cols = jnp.repeat(bst_t[:, v * 4:v * 4 + 4], 4, axis=1)  # (h,16)
+            bs_n = bs_cols.reshape(-1)                # (h*16,) band-major cols
+            al_n = jnp.repeat(al_t[:, cls], 16)
+            be_n = jnp.repeat(be_t[:, cls], 16)
+            tc_b = jnp.repeat(tc_t[:, cls], 16, axis=0)
+            tc_n = jnp.take_along_axis(
+                tc_b, jnp.clip(bs_n - 1, 0, 2)[:, None], axis=1)[:, 0]
+            if v == 0:
+                # the above MB of lane (r, c) is band r-1 of slab t-2
+                prows = jnp.roll(slab2, 1, axis=0)[:, 15:11:-1]
+            else:
+                prows = slab[:, v * 4 - 4:v * 4][:, ::-1]
+            qrows = slab[:, v * 4:v * 4 + 4]
+            p = prows.transpose(0, 2, 1).reshape(-1, 4)   # (h*16, 4)
+            q = qrows.transpose(0, 2, 1).reshape(-1, 4)
+            p, q = _filter_luma_edge(p, q, bs_n, al_n, be_n, tc_n)
+            pr = p.reshape(h, 16, 4).transpose(0, 2, 1)[:, ::-1]  # p3..p0
+            qr = q.reshape(h, 16, 4).transpose(0, 2, 1)
+            if v == 0:
+                slab2 = slab2.at[:, 12:16].set(jnp.roll(pr, -1, axis=0))
+            else:
+                slab = slab.at[:, v * 4 - 4:v * 4].set(pr)
+            slab = slab.at[:, v * 4:v * 4 + 4].set(qr)
+
+        # slab2 aliases slab when t < 2 (clamped offset): write it first so
+        # the filtered slab wins
+        ysk = lax.dynamic_update_slice(ysk, slab2.reshape(H, 16), (0, m2_at))
+        ysk = lax.dynamic_update_slice(ysk, slab.reshape(H, 16), (0, t * 16))
+        return ysk
+
+    def chroma_step(t, csk, cal_t, cbe_t, ctc_t, bsl_t, bst_t):
+        Hc = h * 8
+        halo_at = jnp.maximum(t - 1, 0) * 8 + 6
+        halo = lax.dynamic_slice(csk, (0, halo_at), (Hc, 2))
+        blk = lax.dynamic_slice(csk, (0, t * 8), (Hc, 8))
+        cols = jnp.concatenate([halo, blk], axis=1)    # (Hc, 10)
+
+        for e in range(2):
+            x = 2 + 4 * e
+            cls = 2 if e == 0 else 0
+            lum_col = e * 2
+            # chroma row cr uses luma bS[(cr//2)*4 + lum_col]
+            bs_rows = _expand_rows(
+                bsl_t[:, [lum_col, 4 + lum_col, 8 + lum_col, 12 + lum_col]], 2)
+            al_rows = jnp.repeat(cal_t[:, cls], 8)
+            be_rows = jnp.repeat(cbe_t[:, cls], 8)
+            tc_r = jnp.repeat(ctc_t[:, cls], 8, axis=0)
+            tcv = jnp.take_along_axis(
+                tc_r, jnp.clip(bs_rows - 1, 0, 2)[:, None], axis=1)[:, 0]
+            p = cols[:, x - 2:x][:, ::-1]
+            q = cols[:, x:x + 2]
+            p, q = _filter_chroma_edge(p, q, bs_rows, al_rows, be_rows, tcv)
+            cols = cols.at[:, x - 1].set(p[:, 0])
+            cols = cols.at[:, x].set(q[:, 0])
+
+        csk = lax.dynamic_update_slice(csk, cols[:, 0:2], (0, halo_at))
+        csk = lax.dynamic_update_slice(csk, cols[:, 2:10], (0, t * 8))
+
+        slab = lax.dynamic_slice(csk, (0, t * 8), (Hc, 8)).reshape(h, 8, 8)
+        m2_at = jnp.maximum(t - 2, 0) * 8
+        slab2 = lax.dynamic_slice(csk, (0, m2_at), (Hc, 8)).reshape(h, 8, 8)
+
+        for v in range(2):
+            cls = 1 if v == 0 else 0
+            lum_row = v * 2
+            bs_cols = jnp.repeat(bst_t[:, lum_row * 4:lum_row * 4 + 4], 2,
+                                 axis=1)               # (h, 8)
+            bs_n = bs_cols.reshape(-1)
+            al_n = jnp.repeat(cal_t[:, cls], 8)
+            be_n = jnp.repeat(cbe_t[:, cls], 8)
+            tc_b = jnp.repeat(ctc_t[:, cls], 8, axis=0)
+            tc_n = jnp.take_along_axis(
+                tc_b, jnp.clip(bs_n - 1, 0, 2)[:, None], axis=1)[:, 0]
+            if v == 0:
+                prows = jnp.roll(slab2, 1, axis=0)[:, 7:5:-1]  # p0, p1
+            else:
+                prows = slab[:, v * 4 - 2:v * 4][:, ::-1]
+            qrows = slab[:, v * 4:v * 4 + 2]
+            p = prows.transpose(0, 2, 1).reshape(-1, 2)
+            q = qrows.transpose(0, 2, 1).reshape(-1, 2)
+            p, q = _filter_chroma_edge(p, q, bs_n, al_n, be_n, tc_n)
+            if v == 0:
+                slab2 = slab2.at[:, 7].set(
+                    jnp.roll(p[:, 0].reshape(h, 8), -1, axis=0))
+            else:
+                slab = slab.at[:, v * 4 - 1].set(p[:, 0].reshape(h, 8))
+            slab = slab.at[:, v * 4].set(q[:, 0].reshape(h, 8))
+
+        csk = lax.dynamic_update_slice(csk, slab2.reshape(Hc, 8), (0, m2_at))
+        csk = lax.dynamic_update_slice(csk, slab.reshape(Hc, 8), (0, t * 8))
+        return csk
+
+    def step(t, state):
+        ysk, cbsk, crsk = state
+        ysk = luma_step(t, ysk)
+        cal_t = mb_col(cal, t)
+        cbe_t = mb_col(cbe, t)
+        ctc_t = mb_col(ctc, t)
+        bsl_t = mb_col(bsl, t)
+        bst_t = mb_col(bst, t)
+        cbsk = chroma_step(t, cbsk, cal_t, cbe_t, ctc_t, bsl_t, bst_t)
+        crsk = chroma_step(t, crsk, cal_t, cbe_t, ctc_t, bsl_t, bst_t)
+        return (ysk, cbsk, crsk)
+
+    ysk, cbsk, crsk = lax.fori_loop(0, n_steps, step, (ysk, cbsk, crsk))
+    return (_unskew_plane(ysk, 16, w, h).astype(jnp.uint8),
+            _unskew_plane(cbsk, 8, w, h).astype(jnp.uint8),
+            _unskew_plane(crsk, 8, w, h).astype(jnp.uint8))

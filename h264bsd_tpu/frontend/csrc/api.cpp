@@ -7,6 +7,8 @@
 #include "cavlc.h"
 #include "common.h"
 #include "decoder.h"
+#include "slicegroupmap.h"
+#include "dpb.h"
 #include "nal.h"
 #include "params.h"
 
@@ -177,6 +179,121 @@ u32 h264tpu_dev_residual_block(const u8* data, u32 len, i32 nc,
   return (u32(res.coeff_map) << 16) | (res.total_coeff << 4) | u32(s);
 }
 
+// Build a slice-group map directly (dev/test surface for the 7 FMO map
+// types). params layout: [num_groups, map_type, change_dir, change_rate,
+// change_cycle]; aux carries run_length / top_left+bottom_right /
+// slice_group_id depending on type.
+void h264tpu_dev_slice_group_map(u32 w, u32 h, const u32* params,
+                                 const u32* aux, u32 aux_len, u32* out_map) {
+  Pps pps;
+  pps.num_slice_groups = params[0];
+  pps.slice_group_map_type = params[1];
+  pps.slice_group_change_direction = params[2] != 0;
+  pps.slice_group_change_rate = params[3];
+  switch (pps.slice_group_map_type) {
+    case 0:
+      pps.run_length.assign(aux, aux + pps.num_slice_groups);
+      break;
+    case 2:
+      for (u32 i = 0; i + 1 < pps.num_slice_groups; ++i) {
+        pps.top_left.push_back(aux[2 * i]);
+        pps.bottom_right.push_back(aux[2 * i + 1]);
+      }
+      break;
+    case 6:
+      pps.slice_group_id.assign(aux, aux + aux_len);
+      pps.pic_size_in_map_units = aux_len;
+      break;
+    default:
+      break;
+  }
+  decode_slice_group_map(out_map, pps, params[4], w, h);
+}
+
+// Dev/test surface for the DPB state machine: run a scripted sequence of
+// operations and report the resulting reference list / output queue.
+// ops stream (u32 tokens):
+//   1 frame_num poc is_idr n_mmco [op dif lt_pic lt_frame max_lt]*  -> mark
+//   2 curr_frame_num n_cmds [idc val]*                              -> reorder
+//   3 frame_num is_ref gaps_allowed                                 -> gaps
+//   4                                                               -> flush
+// After the script: out[0..16] = ref list slots (-1 empty), out[17] = number
+// of queued outputs, out[18..] = output slot ids.
+void h264tpu_dev_dpb(u32 dpb_size, u32 max_ref, u32 max_frame_num,
+                     u32 no_reorder, const u32* ops, u32 n_ops, i32* out64) {
+  Dpb dpb;
+  dpb.init(dpb_size, max_ref, max_frame_num, no_reorder != 0);
+  const u32* p = ops;
+  const u32* end = ops + n_ops;
+  while (p < end) {
+    u32 tok = *p++;
+    if (tok == 1) {
+      u32 fn = *p++;
+      i32 poc = i32(*p++);
+      u32 idr = *p++;
+      u32 n = *p++;
+      DecRefPicMarking mark;
+      if (idr) {
+        mark.no_output_of_prior_pics = n & 1;
+        mark.long_term_reference = (n >> 1) & 1;
+      } else if (n) {
+        mark.adaptive_mode = true;
+        for (u32 i = 0; i < n; ++i) {
+          MmcOperation op;
+          op.op = *p++;
+          op.difference_of_pic_nums = *p++;
+          op.long_term_pic_num = *p++;
+          op.long_term_frame_idx = *p++;
+          u32 maxlt = *p++;
+          op.max_long_term_frame_idx =
+              maxlt == 0xFFFFFFFFu ? kNoLongTermFrameIndices : maxlt;
+          mark.operations.push_back(op);
+        }
+        MmcOperation terminator;
+        terminator.op = 0;
+        mark.operations.push_back(terminator);
+      }
+      dpb.allocate_image();
+      dpb.mark_dec_ref_pic(&mark, fn, poc, idr != 0, 0, 0);
+    } else if (tok == 2) {
+      u32 fn = *p++;
+      u32 n = *p++;
+      RefPicListReordering ro;
+      ro.flag_l0 = n > 0;
+      for (u32 i = 0; i < n; ++i) {
+        ReorderCmd cmd;
+        cmd.idc = *p++;
+        u32 v = *p++;
+        if (cmd.idc <= 1) cmd.abs_diff_pic_num = v;
+        else cmd.long_term_pic_num = v;
+        ro.commands.push_back(cmd);
+      }
+      ReorderCmd fin; fin.idc = 3; ro.commands.push_back(fin);
+      dpb.init_ref_pic_list();
+      dpb.reorder_ref_pic_list(ro, fn, max_ref);
+    } else if (tok == 3) {
+      u32 fn = *p++;
+      u32 is_ref = *p++;
+      u32 allowed = *p++;
+      std::vector<i32> ne;
+      dpb.check_gaps_in_frame_num(fn, is_ref != 0, allowed != 0, &ne);
+    } else if (tok == 4) {
+      dpb.flush();
+    } else if (tok == 5) {
+      dpb.init_ref_pic_list();
+    }
+  }
+  for (u32 i = 0; i < 17; ++i) out64[i] = dpb.ref_pic_slot(i);
+  u32 n_out = 0;
+  const DpbOutPicture* o;
+  while ((o = dpb.next_output()) != nullptr && n_out < 40) {
+    out64[18 + n_out * 2] = o->slot;
+    out64[18 + n_out * 2 + 1] = i32(o->pic_id);
+    n_out++;
+  }
+  out64[17] = i32(n_out);
+}
+
 // Parse an SPS NAL payload (header byte included); fills a small out array:
 // [width_mbs, height_mbs, crop_l, crop_r, crop_t, crop_b, max_dpb, num_ref,
 //  max_frame_num, poc_type, level, profile, cropping_flag]
@@ -198,5 +315,7 @@ u32 h264tpu_dev_parse_sps(const u8* data, u32 len, u32* out13) {
   std::memcpy(out13, vals, sizeof(vals));
   return 0;
 }
+
+
 
 }  // extern "C"

@@ -413,12 +413,6 @@ u32 Decoder::decode_inner(const u8* data, u32 len, u32 pic_id,
           curr_slot_ = dpb_.allocate_image();
         }
 
-        H264TPU_DBG("sh: first=%u type=%u fn=%u lsb=%u nri=%u qpd=%d reord=%d adapt=%d bits=%llu\n",
-                    slice_header_[1].first_mb_in_slice, slice_header_[1].slice_type,
-                    slice_header_[1].frame_num, slice_header_[1].pic_order_cnt_lsb,
-                    slice_header_[1].num_ref_idx_l0_active, slice_header_[1].slice_qp_delta,
-                    int(slice_header_[1].reordering.flag_l0), int(slice_header_[1].marking.adaptive_mode),
-                    (unsigned long long)br.bits_read());
         slice_header_[0] = slice_header_[1];
         valid_slice_in_access_unit_ = true;
         prev_nal_ = nal;

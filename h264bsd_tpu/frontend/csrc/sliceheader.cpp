@@ -1,7 +1,4 @@
 #include "sliceheader.h"
-#include <cstdio>
-#include <cstdlib>
-#define SHDBG(...) do { if (getenv("H264TPU_DEBUG")) fprintf(stderr, __VA_ARGS__); } while (0)
 
 namespace h264tpu {
 
@@ -138,105 +135,105 @@ Status decode_slice_header(BitReader& br, const Sps& sps, const Pps& pps,
   u32 value;
   i32 ivalue;
 
-  if (!ok(br.ue(&value)) || value >= pic_size_in_mbs) { SHDBG("sh fail line 141\n"); return Status::kError; }
+  if (!ok(br.ue(&value)) || value >= pic_size_in_mbs) return Status::kError;
   sh->first_mb_in_slice = value;
 
-  if (!ok(br.ue(&value))) { SHDBG("sh fail line 144\n"); return Status::kError; }
+  if (!ok(br.ue(&value))) return Status::kError;
   sh->slice_type = value;
   // I or P only; P forbidden for IDR units and when num_ref_frames == 0
   // (reference slice_header.c:134-143).
   if (!is_i_slice(value) &&
       (!is_p_slice(value) || idr || sps.num_ref_frames == 0)) {
-    { SHDBG("sh fail line 150\n"); return Status::kError; }
+    return Status::kError;
   }
 
-  if (!ok(br.ue(&value)) || value != pps.pps_id) { SHDBG("sh fail line 153\n"); return Status::kError; }
+  if (!ok(br.ue(&value)) || value != pps.pps_id) return Status::kError;
   sh->pps_id = value;
 
   u32 frame_num = br.get_bits(bits_for(sps.max_frame_num));
-  if (frame_num == kEndOfStream) { SHDBG("sh fail line 157\n"); return Status::kError; }
-  if (idr && frame_num != 0) { SHDBG("sh fail line 158\n"); return Status::kError; }
+  if (frame_num == kEndOfStream) return Status::kError;
+  if (idr && frame_num != 0) return Status::kError;
   sh->frame_num = frame_num;
 
   if (idr) {
-    if (!ok(br.ue(&value)) || value > 65535) { SHDBG("sh fail line 162\n"); return Status::kError; }
+    if (!ok(br.ue(&value)) || value > 65535) return Status::kError;
     sh->idr_pic_id = value;
   }
 
   if (sps.poc_type == 0) {
     u32 lsb = br.get_bits(bits_for(sps.max_pic_order_cnt_lsb));
-    if (lsb == kEndOfStream) { SHDBG("sh fail line 168\n"); return Status::kError; }
+    if (lsb == kEndOfStream) return Status::kError;
     sh->pic_order_cnt_lsb = lsb;
     if (pps.pic_order_present) {
-      if (!ok(br.se(&ivalue))) { SHDBG("sh fail line 171\n"); return Status::kError; }
+      if (!ok(br.se(&ivalue))) return Status::kError;
       sh->delta_pic_order_cnt_bottom = ivalue;
     }
     // IDR must have POC 0 (reference slice_header.c:204-215)
     i32 bottom = i32(sh->pic_order_cnt_lsb) + sh->delta_pic_order_cnt_bottom;
     if (idr && (sh->pic_order_cnt_lsb > sps.max_pic_order_cnt_lsb / 2 ||
                 std::min(i32(sh->pic_order_cnt_lsb), bottom) != 0)) {
-      { SHDBG("sh fail line 178\n"); return Status::kError; }
+      return Status::kError;
     }
   }
 
   if (sps.poc_type == 1 && !sps.delta_pic_order_always_zero) {
-    if (!ok(br.se(&ivalue))) { SHDBG("sh fail line 183\n"); return Status::kError; }
+    if (!ok(br.se(&ivalue))) return Status::kError;
     sh->delta_pic_order_cnt[0] = ivalue;
     if (pps.pic_order_present) {
-      if (!ok(br.se(&ivalue))) { SHDBG("sh fail line 186\n"); return Status::kError; }
+      if (!ok(br.se(&ivalue))) return Status::kError;
       sh->delta_pic_order_cnt[1] = ivalue;
     }
     i32 bottom = sh->delta_pic_order_cnt[0] +
                  sps.offset_for_top_to_bottom_field +
                  sh->delta_pic_order_cnt[1];
     if (idr && std::min(sh->delta_pic_order_cnt[0], bottom) != 0) {
-      { SHDBG("sh fail line 193\n"); return Status::kError; }
+      return Status::kError;
     }
   }
 
   if (pps.redundant_pic_cnt_present) {
-    if (!ok(br.ue(&value)) || value > 127) { SHDBG("sh fail line 198\n"); return Status::kError; }
+    if (!ok(br.ue(&value)) || value > 127) return Status::kError;
     sh->redundant_pic_cnt = value;
   }
 
   if (is_p_slice(sh->slice_type)) {
     u32 bit = br.get_bits(1);
-    if (bit == kEndOfStream) { SHDBG("sh fail line 204\n"); return Status::kError; }
+    if (bit == kEndOfStream) return Status::kError;
     sh->num_ref_idx_override = bit != 0;
     if (sh->num_ref_idx_override) {
-      if (!ok(br.ue(&value)) || value > 15) { SHDBG("sh fail line 207\n"); return Status::kError; }
+      if (!ok(br.ue(&value)) || value > 15) return Status::kError;
       sh->num_ref_idx_l0_active = value + 1;
     } else {
       // a PPS value over 16 must have been overridden here
-      if (pps.num_ref_idx_l0_active > 16) { SHDBG("sh fail line 211\n"); return Status::kError; }
+      if (pps.num_ref_idx_l0_active > 16) return Status::kError;
       sh->num_ref_idx_l0_active = pps.num_ref_idx_l0_active;
     }
 
     Status s = decode_reordering(br, &sh->reordering,
                                  sh->num_ref_idx_l0_active, sps.max_frame_num);
-    if (!ok(s)) { SHDBG("sh fail line 217\n"); return s; }
+    if (!ok(s)) return s;
   }
 
   if (nal.ref_idc != 0) {
     Status s = decode_marking(br, &sh->marking, nal.type, sps.num_ref_frames);
-    if (!ok(s)) { SHDBG("sh fail line 222\n"); return s; }
+    if (!ok(s)) return s;
   }
 
-  if (!ok(br.se(&ivalue))) { SHDBG("sh fail line 225\n"); return Status::kError; }
+  if (!ok(br.se(&ivalue))) return Status::kError;
   sh->slice_qp_delta = ivalue;
   i32 qp = ivalue + i32(pps.pic_init_qp);
-  if (qp < 0 || qp > 51) { SHDBG("sh fail line 228\n"); return Status::kError; }
+  if (qp < 0 || qp > 51) return Status::kError;
 
   if (pps.deblocking_filter_control_present) {
-    if (!ok(br.ue(&value)) || value > 2) { SHDBG("sh fail line 231\n"); return Status::kError; }
+    if (!ok(br.ue(&value)) || value > 2) return Status::kError;
     sh->disable_deblocking_filter_idc = value;
     if (value != 1) {
       if (!ok(br.se(&ivalue)) || ivalue < -6 || ivalue > 6) {
-        { SHDBG("sh fail line 235\n"); return Status::kError; }
+        return Status::kError;
       }
       sh->slice_alpha_c0_offset = ivalue * 2;
       if (!ok(br.se(&ivalue)) || ivalue < -6 || ivalue > 6) {
-        { SHDBG("sh fail line 239\n"); return Status::kError; }
+        return Status::kError;
       }
       sh->slice_beta_offset = ivalue * 2;
     }
@@ -247,11 +244,11 @@ Status decode_slice_header(BitReader& br, const Sps& sps, const Pps& pps,
     u32 bits = num_slice_group_change_cycle_bits(pic_size_in_mbs,
                                                  pps.slice_group_change_rate);
     value = br.get_bits(bits);
-    if (value == kEndOfStream) { SHDBG("sh fail line 250\n"); return Status::kError; }
+    if (value == kEndOfStream) return Status::kError;
     sh->slice_group_change_cycle = value;
     u32 max_cycle = (pic_size_in_mbs + pps.slice_group_change_rate - 1) /
                     pps.slice_group_change_rate;
-    if (value > max_cycle) { SHDBG("sh fail line 254\n"); return Status::kError; }
+    if (value > max_cycle) return Status::kError;
   }
 
   return Status::kOk;

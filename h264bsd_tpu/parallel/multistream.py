@@ -126,9 +126,11 @@ class MultiStreamDecoder:
         ecap = 2048
         while any(len(r[7]) > ecap for r in ready):
             ecap *= 4
-        icap = self.intra_cap or n_mbs
-        scap = 32
         wavefront = any(len(r[5]) > 512 for r in ready)
+        # when the wavefront pass runs, the intra list only drives the
+        # modes/avail scatter; keep the transfer small either way
+        icap = self.intra_cap or (n_mbs if wavefront else 512)
+        scap = 32
 
         def pad_rows(arr, capn, fill=0):
             out = np.full((capn,) + arr.shape[1:], fill, arr.dtype)

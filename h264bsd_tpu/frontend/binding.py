@@ -157,7 +157,20 @@ class FrontendDecoder:
         return dict(zip(keys, out[:9].tolist()))
 
     def tensor(self, name: str, n_mbs: int) -> np.ndarray:
-        """Copy of a per-frame tensor shaped (n_mbs, *per_mb_shape)."""
+        """Copy of a per-frame tensor shaped (n_mbs, *per_mb_shape).
+        The residual tensors are synthesized from the sparse stream (the
+        C++ side no longer materializes the dense 6 MB coefficient array
+        on the hot path)."""
+        if name in ("coeff", "luma_dc", "chroma_dc"):
+            ids, levels = self.sparse_residual()
+            dense = np.zeros((n_mbs * 26 + 1, 16), np.int16)
+            dense[ids] = levels
+            dense = dense[:n_mbs * 26].reshape(n_mbs, 26, 16)
+            if name == "coeff":
+                return dense[:, :24].copy()
+            if name == "luma_dc":
+                return dense[:, 24].copy()
+            return dense[:, 25, :8].copy()
         tid, dtype, shape = _TENSORS[name]
         size = ct.c_uint64(0)
         ptr = self._lib.h264tpu_tensor(self._h, tid, ct.byref(size))

@@ -90,9 +90,6 @@ const void* h264tpu_tensor(void* inst, u32 tensor_id, u64* size_bytes) {
     case 13: return ret(t.ref_slot.data(), t.ref_slot.size());
     case 14: return ret(t.nnz.data(), t.nnz.size());
     case 15: return ret(t.nnz_dc.data(), t.nnz_dc.size());
-    case 16: return ret(t.coeff.data(), t.coeff.size() * 2);
-    case 17: return ret(t.luma_dc.data(), t.luma_dc.size() * 2);
-    case 18: return ret(t.chroma_dc.data(), t.chroma_dc.size() * 2);
     case 19: return ret(t.ipcm_mb.data(), t.ipcm_mb.size() * 4);
     case 20: return ret(t.ipcm_data.data(), t.ipcm_data.size());
     case 21: return ret(t.chroma_qp_offset.data(), t.chroma_qp_offset.size());

@@ -230,9 +230,6 @@ void FrameTensors::reset(u32 w_mbs, u32 h_mbs) {
   ref_slot.assign(n_mbs * 16, -1);
   nnz.assign(n_mbs * 24, 0);
   nnz_dc.assign(n_mbs * 3, 0);
-  coeff.assign(size_t(n_mbs) * 24 * 16, 0);
-  luma_dc.assign(n_mbs * 16, 0);
-  chroma_dc.assign(n_mbs * 8, 0);
   ipcm_mb.clear();
   ipcm_data.clear();
 }
@@ -346,34 +343,35 @@ void FrameTensors::build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap,
 
   std::memcpy(p, packed.data(), packed.size());
   p += size_t(n) * 16;
-  std::memcpy(p, slice_table.data(), slice_table.size());
+  std::memcpy(p, slice_table.data(),
+              std::min(slice_table.size(), size_t(stab_cap) * 4));
   p += size_t(stab_cap) * 4;
 
   i32* ids = reinterpret_cast<i32*>(p);
-  const u32 n_sparse = u32(sparse_id.size());
+  const u32 n_sparse = std::min(u32(sparse_id.size()), sparse_cap);
   for (u32 i = 0; i < sparse_cap; ++i) {
     ids[i] = i < n_sparse ? i32(sparse_id[i]) : i32(n * 26);
   }
   p += size_t(sparse_cap) * 4;
-  std::memcpy(p, sparse_level.data(), sparse_level.size() * 2);
+  std::memcpy(p, sparse_level.data(), size_t(n_sparse) * 32);
   p += size_t(sparse_cap) * 32;
 
   i32* eids = reinterpret_cast<i32*>(p);
-  const u32 n_exc = u32(mv_exc_id.size());
+  const u32 n_exc = std::min(u32(mv_exc_id.size()), exc_cap);
   for (u32 i = 0; i < exc_cap; ++i) {
     eids[i] = i < n_exc ? i32(mv_exc_id[i]) : i32(n);
   }
   p += size_t(exc_cap) * 4;
-  std::memcpy(p, mv_exc_payload.data(), mv_exc_payload.size());
+  std::memcpy(p, mv_exc_payload.data(), size_t(n_exc) * 80);
   p += size_t(exc_cap) * 80;
 
   i32* iids = reinterpret_cast<i32*>(p);
-  const u32 n_intra = u32(intra_mbs.size());
+  const u32 n_intra = std::min(u32(intra_mbs.size()), intra_cap);
   for (u32 i = 0; i < intra_cap; ++i) {
     iids[i] = i < n_intra ? i32(intra_mbs[i]) : i32(n);
   }
   p += size_t(intra_cap) * 4;
-  std::memcpy(p, intra_payload.data(), intra_payload.size());
+  std::memcpy(p, intra_payload.data(), size_t(n_intra) * 32);
 }
 
 void MbParser::configure(u32 width_mbs, u32 height_mbs) {
@@ -885,50 +883,46 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   out->nnz_dc[addr * 3 + 2] = u8(cur.total_coeff[26]);
 
   if (mb_class == kMbSkip || mb_class == kMbIpcm || levels == nullptr) {
-    // no residual tensors; device masks on nnz/mb_class
-    std::memset(&out->luma_dc[addr * 16], 0, 16 * sizeof(i16));
-    std::memset(&out->chroma_dc[addr * 8], 0, 8 * sizeof(i16));
-    return;
+    return;  // no residual; device masks on nnz/mb_class
   }
 
+  // residuals go out sparse-only; the dense (nMB,24,16) view used by the
+  // parity tests is synthesized from the sparse stream in the binding
   const bool is16 = mb_class == kMbIntra16;
-  i16* dst = &out->coeff[size_t(addr) * 24 * 16];
-  std::memset(dst, 0, 24 * 16 * sizeof(i16));
   auto sparse_push = [&](u32 b, const i16* vals) {
     out->sparse_id.push_back(addr * 26 + b);
     out->sparse_level.insert(out->sparse_level.end(), vals, vals + 16);
   };
+  i16 blk[16];
   for (u32 z = 0; z < 16; ++z) {
     if (!cur.total_coeff[z]) continue;
-    i16* blk = dst + kZig2Ras[z] * 16;
+    std::memset(blk, 0, sizeof(blk));
     const i16* src = levels[z];
     for (u32 s = is16 ? 1 : 0; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
     sparse_push(kZig2Ras[z], blk);
   }
   for (u32 b = 16; b < 24; ++b) {
     if (!cur.total_coeff[b]) continue;
-    i16* blk = dst + b * 16;
+    std::memset(blk, 0, sizeof(blk));
     const i16* src = levels[b];
     for (u32 s = 1; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
     sparse_push(b, blk);
   }
-  i16* ldc = &out->luma_dc[addr * 16];
-  std::memset(ldc, 0, 16 * sizeof(i16));
   if (is16 && cur.total_coeff[24]) {
-    for (u32 s = 0; s < 16; ++s) ldc[kScan2Ras[s]] = levels[24][s];
-    sparse_push(24, ldc);
-  }
-  i16* cdc = &out->chroma_dc[addr * 8];
-  for (u32 i = 0; i < 4; ++i) {
-    cdc[i] = levels[25][i];
-    cdc[4 + i] = levels[26][i];
+    std::memset(blk, 0, sizeof(blk));
+    for (u32 s = 0; s < 16; ++s) blk[kScan2Ras[s]] = levels[24][s];
+    sparse_push(24, blk);
   }
   bool any_cdc = false;
-  for (u32 i = 0; i < 8; ++i) any_cdc |= cdc[i] != 0;
+  for (u32 i = 0; i < 4; ++i) {
+    any_cdc |= levels[25][i] != 0;
+    any_cdc |= levels[26][i] != 0;
+  }
   if (any_cdc) {
-    i16 buf[16] = {};
-    std::memcpy(buf, cdc, 8 * sizeof(i16));
-    sparse_push(25, buf);
+    std::memset(blk, 0, sizeof(blk));
+    std::memcpy(blk, levels[25], 4 * sizeof(i16));
+    std::memcpy(blk + 4, levels[26], 4 * sizeof(i16));
+    sparse_push(25, blk);
   }
 }
 

@@ -72,9 +72,6 @@ struct FrameTensors {
   std::vector<i8> ref_slot;      // [nMB*16] DPB slot per block, -1 invalid
   std::vector<u8> nnz;           // [nMB*24] totalCoeff: luma16+cb4+cr4 raster
   std::vector<u8> nnz_dc;        // [nMB*3] totalCoeff of blocks 24/25/26
-  std::vector<i16> coeff;        // [nMB*24*16] raw levels, raster positions
-  std::vector<i16> luma_dc;      // [nMB*16] raw, raster
-  std::vector<i16> chroma_dc;    // [nMB*8] raw, cb then cr
   std::vector<u32> ipcm_mb;      // MB indices with raw PCM samples
   std::vector<u8> ipcm_data;     // 384 bytes per ipcm_mb entry
 

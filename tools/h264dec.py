@@ -79,7 +79,11 @@ def main(argv=None):
             rgba_f.write(pic.rgba().tobytes())
         if golden is not None:
             ref = golden[state["frame"] * n:(state["frame"] + 1) * n]
-            diffs = sum(a != b for a, b in zip(yuv, ref)) if yuv != ref else 0
+            diffs = 0
+            if yuv != ref:
+                # a short golden counts every missing byte as a diff
+                diffs = sum(a != b for a, b in zip(yuv, ref)) \
+                    + abs(len(yuv) - len(ref))
             if diffs:
                 print(f"frame {state['frame']}: {diffs} differing pixels")
             state["diffs"] += diffs

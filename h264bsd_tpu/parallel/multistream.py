@@ -1,19 +1,27 @@
 """Batched multi-stream decoding — SURVEY.md §2.4 stream-level sharding
-(BASELINE config 5: many independent 640x360 streams decoded concurrently).
+(BASELINE config 5: many independent same-resolution streams decoded
+concurrently).
 
 Each stream keeps its own host front-end (decoder state is self-contained,
-reference h264bsd_storage.h:75-152 -> trivially batchable); the device work
-of all streams that produced a picture this round is executed as ONE
-batched step (vmapped frame pipeline), optionally sharded over a device
-mesh axis ("stream") with shard_map so each chip owns a subset of streams.
+reference h264bsd_storage.h:75-152 -> trivially batchable); every round,
+all streams that produced a picture run as ONE vmapped device step over a
+stacked transfer blob. The per-stream layout is identical to the
+single-stream fast path (FrameTensors::build_blob): the whole round is a
+single (N, blob_bytes) host->device copy.
 
-On a single chip the batching amortizes the sequential wavefront stages
-across streams (all streams advance inside the same fori steps), which is
-the TPU-native answer to "many slow scalar decoders" on CPU.
+On a single chip the batching amortizes the sequential intra/deblock
+stages across streams (all streams advance inside the same fori steps) —
+the TPU-native answer to "many slow scalar decoders" on CPU. Across chips
+the same step shards over a "stream" mesh axis (models/entry.py).
+
+Host parse for round k+1 overlaps device execution of round k via a
+producer thread (ctypes releases the GIL during C++ parse).
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from functools import partial
 
 import jax
@@ -22,52 +30,48 @@ import numpy as np
 
 from ..frontend import binding as fe
 from ..models.decoder import _decode_step
-from ..ops.deblock import deblock_frame
-from ..ops.reconstruct import reconstruct_frame_fast
 
 
-@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps",
                                    "intra_wavefront"))
-def _batched_step(packed, slice_table, sparse_ids, sparse_levels,
-                  mv_exc_ids, mv_exc_payload, intra_mbs, intra_payload,
-                  dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slots,
-                  width_mbs, height_mbs, intra_wavefront=False):
-    """vmapped per-frame step over the leading stream axis."""
+def _batched_blob_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
+                       slots, conceal_from_ref, conceal_ref_slot,
+                       width_mbs, height_mbs, caps, intra_wavefront=False):
+    """The single-stream frame step (unpack -> reconstruct -> conceal ->
+    deblock -> store) vmapped over the leading stream axis."""
 
-    def one(packed, stab, ids, levels, eids, epay, intra, ipay,
-            dy, dcb, dcr, py, pcb, pcr, slot):
-        y, cb, cr, t = reconstruct_frame_fast(
-            packed, stab, ids, levels, eids, epay, intra, ipay,
-            py, pcb, pcr, dy, dcb, dcr,
-            width_mbs, height_mbs, intra_wavefront)
-        y, cb, cr = deblock_frame(
-            y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
-            t["slice_id"], t["disable_dblk"], t["qp_y"], t["filter_off_a"],
-            t["filter_off_b"], t["chroma_qp_offset"], width_mbs, height_mbs)
-        return dy.at[slot].set(y), dcb.at[slot].set(cb), dcr.at[slot].set(cr)
+    def one(blob, dy, dcb, dcr, py, pcb, pcr, slot, cfr, crs):
+        return _decode_step(blob, dy, dcb, dcr, py, pcb, pcr, slot, cfr,
+                            crs, width_mbs, height_mbs, caps,
+                            intra_wavefront)
 
-    return jax.vmap(one)(packed, slice_table, sparse_ids, sparse_levels,
-                         mv_exc_ids, mv_exc_payload, intra_mbs,
-                         intra_payload, dpb_y, dpb_cb, dpb_cr,
-                         pcm_y, pcm_cb, pcm_cr, slots)
+    return jax.vmap(one)(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb,
+                         pcm_cr, slots, conceal_from_ref, conceal_ref_slot)
+
+
+def _tier(length, tiers):
+    return next(c for c in tiers if c >= length)
 
 
 class MultiStreamDecoder:
     """Decode N same-resolution streams concurrently with one batched
-    device step per round. Streams out of data simply stop contributing."""
+    device step per round. Streams out of data simply stop contributing.
 
-    def __init__(self, streams: list[bytes], sparse_cap=16384,
-                 intra_cap=None):
+    Concealment limitations in batched mode: partial I-type loss uses the
+    device grey-fill/P-copy approximation (the exact host spiral would
+    serialize the batch); clean and whole-picture-loss streams are exact.
+    """
+
+    def __init__(self, streams: list[bytes]):
         self.n = len(streams)
         self.data = streams
         self.pos = [0] * self.n
         self.fes = [fe.FrontendDecoder() for _ in range(self.n)]
         self.geom = None
         self.dpb = None
-        self.sparse_cap = sparse_cap
-        self.intra_cap = intra_cap
         self.outputs = [[] for _ in range(self.n)]
         self._zero_pcm = None
+        self._zero_blob = {}
 
     def _ensure_dpb(self, info):
         if self.dpb is not None:
@@ -82,32 +86,23 @@ class MultiStreamDecoder:
             jnp.zeros((self.n, n_slots, h // 2, w // 2), jnp.uint8),
             jnp.zeros((self.n, n_slots, h // 2, w // 2), jnp.uint8))
 
-    def step(self) -> int:
-        """Advance every live stream to its next picture, then run one
-        batched device step. Returns the number of pictures produced."""
-        n_mbs = None
-        ready = []  # (idx, slot, packed, ids, levels, intra, wavefront)
+    # -- host half (safe on the producer thread: no JAX calls) -------------
+
+    def _parse_round(self):
+        """Advance every live stream to its next picture and build the
+        stacked round blob. Returns None when every stream is drained."""
+        ready = {}  # idx -> (counts, info, non_existing)
         for i in range(self.n):
             d, p = self.data[i], self.pos[i]
             while p < len(d):
-                status, read = self.fes[i].decode(d[p:], pic_id=len(
-                    self.outputs[i]))
+                status, read = self.fes[i].decode(
+                    d[p:], pic_id=len(self.outputs[i]))
                 p += read
                 if status == fe.PIC_RDY:
-                    # allocate on the first picture: dpb_slots is only
-                    # final after the two-phase activation completes
                     self._ensure_dpb(self.fes[i].stream_info())
-                    info = self.fes[i].pic_info()
-                    g = self.geom
-                    n_mbs = g["width_mbs"] * g["height_mbs"]
-                    packed = self.fes[i].packed_meta()
-                    stab = self.fes[i].slice_table()
-                    ids, levels = self.fes[i].sparse_residual()
-                    eids, epay = self.fes[i].mv_exceptions()
-                    intra = self.fes[i].intra_list()
-                    ipay = self.fes[i].intra_payload()
-                    ready.append((i, info["slot"], packed, ids, levels,
-                                  intra, stab, eids, epay, ipay))
+                    counts = tuple(int(x) for x in self.fes[i].blob_counts())
+                    ready[i] = (counts, self.fes[i].pic_info(),
+                                self.fes[i].take_non_existing())
                     while (o := self.fes[i].next_output()) is not None:
                         self.outputs[i].append(o)
                     break
@@ -115,85 +110,125 @@ class MultiStreamDecoder:
                     p = len(d)
             self.pos[i] = p
         if not ready:
-            return 0
+            return None
 
         g = self.geom
-        w_mbs, h_mbs = g["width_mbs"], g["height_mbs"]
-        n_mbs = w_mbs * h_mbs
-        cap = self.sparse_cap
-        while any(len(r[3]) > cap for r in ready):
-            cap *= 4
-        ecap = 2048
-        while any(len(r[7]) > ecap for r in ready):
-            ecap *= 4
-        wavefront = any(len(r[5]) > 512 for r in ready)
-        # when the wavefront pass runs, the intra list only drives the
-        # modes/avail scatter; keep the transfer small either way
-        icap = self.intra_cap or (n_mbs if wavefront else 512)
-        scap = 32
+        n_mbs = g["width_mbs"] * g["height_mbs"]
+        # shared tier caps for the round (same ladder as the single-stream
+        # path so compiled shapes are shared with it where N matches)
+        mx = [max(c[k] for c, _, _ in ready.values()) for k in range(4)]
+        cap = _tier(mx[0], tuple(2048 << i for i in range(8)) +
+                    (max(n_mbs * 26, 2048),))
+        ecap = _tier(mx[1], tuple(256 << i for i in range(8)) +
+                     (max(n_mbs, 256),))
+        scap = _tier(mx[3], (32, max(n_mbs, 32)))
+        wavefront = mx[2] > 512
+        icap = _tier(mx[2], (512, n_mbs) if not wavefront else (n_mbs,))
+        caps = (cap, ecap, icap, scap)
 
-        def pad_rows(arr, capn, fill=0):
-            out = np.full((capn,) + arr.shape[1:], fill, arr.dtype)
-            out[:len(arr)] = arr
-            return out
+        if caps not in self._zero_blob:
+            size = (n_mbs * 16 + scap * 4 + cap * 36 + ecap * 84 +
+                    icap * 36)
+            self._zero_blob[caps] = np.zeros(size, np.uint8)
+        n_scratch = self.dpb[0].shape[1] - 1
 
-        by_idx = {r[0]: r for r in ready}
-        cols = {k: [] for k in ("packed", "stab", "ids", "lv", "eids",
-                                "epay", "intra", "ipay", "slots")}
-        zero_packed = np.zeros(len(ready[0][2]), np.uint8)
-        n_slots = self.dpb[0].shape[1]
+        blobs, slots, cfr, crs = [], [], [], []
+        non_existing = []
+        ipcm = []
         for i in range(self.n):
-            if i in by_idx:
-                _, slot, pk, ids, lv, il, stab, eids, epay, ipay = by_idx[i]
-                cols["packed"].append(pk)
-                cols["stab"].append(pad_rows(stab, scap))
-                cols["ids"].append(pad_rows(ids.astype(np.int32), cap,
-                                            n_mbs * 26))
-                cols["lv"].append(pad_rows(lv, cap))
-                cols["eids"].append(pad_rows(eids.astype(np.int32), ecap,
-                                             n_mbs))
-                cols["epay"].append(pad_rows(epay, ecap))
-                cols["intra"].append(pad_rows(il.astype(np.int32), icap,
-                                              n_mbs))
-                cols["ipay"].append(pad_rows(ipay, icap))
-                cols["slots"].append(slot)
+            if i in ready:
+                _, info, nonex = ready[i]
+                blobs.append(self.fes[i].blob(*caps))
+                slots.append(info["slot"])
+                n_conc = info["num_concealed_mbs"]
+                cfr.append(bool(info["conceal_from_ref"]) and n_conc > 0)
+                crs.append(info["conceal_ref_slot"])
+                non_existing.extend((i, s) for s in nonex)
+                mb, data = self.fes[i].ipcm()
+                if len(mb):
+                    ipcm.append((i, mb, data))
             else:
-                cols["packed"].append(zero_packed)
-                cols["stab"].append(np.zeros((scap, 4), np.int8))
-                cols["ids"].append(np.full(cap, n_mbs * 26, np.int32))
-                cols["lv"].append(np.zeros((cap, 16), np.int16))
-                cols["eids"].append(np.full(ecap, n_mbs, np.int32))
-                cols["epay"].append(np.zeros((ecap, 80), np.uint8))
-                cols["intra"].append(np.full(icap, n_mbs, np.int32))
-                cols["ipay"].append(np.zeros((icap, 32), np.uint8))
-                cols["slots"].append(n_slots - 1)
+                blobs.append(self._zero_blob[caps])
+                slots.append(n_scratch)
+                cfr.append(False)
+                crs.append(-1)
+        return dict(blobs=np.stack(blobs), slots=np.array(slots, np.int32),
+                    cfr=np.array(cfr), crs=np.array(crs, np.int32),
+                    caps=caps, wavefront=wavefront, n_mbs=n_mbs,
+                    n_ready=len(ready), non_existing=non_existing,
+                    ipcm=ipcm)
 
-        if self._zero_pcm is None or self._zero_pcm[0].shape[1] != n_mbs:
-            self._zero_pcm = (
-                jnp.zeros((self.n, n_mbs, 16, 16), jnp.uint8),
-                jnp.zeros((self.n, n_mbs, 8, 8), jnp.uint8),
-                jnp.zeros((self.n, n_mbs, 8, 8), jnp.uint8))
+    # -- device half -------------------------------------------------------
 
+    def _submit(self, rnd):
+        n_mbs = rnd["n_mbs"]
         dy, dcb, dcr = self.dpb
-        self.dpb = _batched_step(
-            jnp.asarray(np.stack(cols["packed"])),
-            jnp.asarray(np.stack(cols["stab"])),
-            jnp.asarray(np.stack(cols["ids"])),
-            jnp.asarray(np.stack(cols["lv"])),
-            jnp.asarray(np.stack(cols["eids"])),
-            jnp.asarray(np.stack(cols["epay"])),
-            jnp.asarray(np.stack(cols["intra"])),
-            jnp.asarray(np.stack(cols["ipay"])),
-            dy, dcb, dcr, *self._zero_pcm,
-            jnp.asarray(np.array(cols["slots"], np.int32)), w_mbs, h_mbs,
-            wavefront)
-        return len(ready)
+        for i, slot in rnd["non_existing"]:
+            dy = dy.at[i, slot].set(0)
+            dcb = dcb.at[i, slot].set(0)
+            dcr = dcr.at[i, slot].set(0)
 
-    def run(self):
+        if rnd["ipcm"]:
+            from ..ops.reconstruct import build_pcm_tensors
+            py = np.zeros((self.n, n_mbs, 16, 16), np.uint8)
+            pcb = np.zeros((self.n, n_mbs, 8, 8), np.uint8)
+            pcr = np.zeros((self.n, n_mbs, 8, 8), np.uint8)
+            for i, mb, data in rnd["ipcm"]:
+                py[i], pcb[i], pcr[i] = build_pcm_tensors(n_mbs, mb, data)
+            pcm = tuple(jnp.asarray(p) for p in (py, pcb, pcr))
+        else:
+            if (self._zero_pcm is None or
+                    self._zero_pcm[0].shape[1] != n_mbs):
+                self._zero_pcm = (
+                    jnp.zeros((self.n, n_mbs, 16, 16), jnp.uint8),
+                    jnp.zeros((self.n, n_mbs, 8, 8), jnp.uint8),
+                    jnp.zeros((self.n, n_mbs, 8, 8), jnp.uint8))
+            pcm = self._zero_pcm
+
+        g = self.geom
+        self.dpb = _batched_blob_step(
+            jnp.asarray(rnd["blobs"]), dy, dcb, dcr, *pcm,
+            jnp.asarray(rnd["slots"]), jnp.asarray(rnd["cfr"]),
+            jnp.asarray(rnd["crs"]), g["width_mbs"], g["height_mbs"],
+            rnd["caps"], rnd["wavefront"])
+
+    def step(self) -> int:
+        """Advance every live stream to its next picture, then run one
+        batched device step. Returns the number of pictures produced."""
+        rnd = self._parse_round()
+        if rnd is None:
+            return 0
+        self._submit(rnd)
+        return rnd["n_ready"]
+
+    def run(self, pipelined: bool = True):
         """Decode all streams to completion; returns per-stream picture
-        counts."""
-        while self.step():
-            pass
+        counts. With pipelined=True the host parse of round k+1 overlaps
+        the device execution of round k."""
+        if not pipelined:
+            while self.step():
+                pass
+            return [len(o) for o in self.outputs]
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        err = []
+
+        def producer():
+            try:
+                while (rnd := self._parse_round()) is not None:
+                    q.put(rnd)
+            except Exception as e:          # surface on the consumer side
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while (rnd := q.get()) is not None:
+            self._submit(rnd)
+        t.join()
+        if err:
+            raise err[0]
         return [len(o) for o in self.outputs]
 
     def picture(self, stream_idx, out_idx):

@@ -46,6 +46,7 @@ def _configure(L: ct.CDLL) -> None:
     L.h264tpu_blob.restype = ct.c_void_p
     L.h264tpu_blob.argtypes = [
         ct.c_void_p, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
+        ct.c_uint32,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ct.POINTER(ct.c_uint64)]
     L.h264tpu_take_non_existing.restype = ct.c_uint32
@@ -221,19 +222,21 @@ class FrontendDecoder:
         return self._raw(25, np.uint32)
 
     def blob_counts(self):
-        """[n_sparse, n_exc, n_intra, n_slices] for tier selection; also
-        (re)builds the packed records."""
-        counts = np.zeros(4, np.uint32)
+        """[n_sparse, n_wide, n_exc, n_intra, n_slices] for tier
+        selection; also (re)builds the packed records."""
+        counts = np.zeros(5, np.uint32)
         size = ct.c_uint64(0)
-        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, counts, ct.byref(size))
+        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, 0, counts,
+                               ct.byref(size))
         return counts
 
-    def blob(self, sparse_cap, exc_cap, intra_cap, stab_cap) -> np.ndarray:
+    def blob(self, sparse_cap, wide_cap, exc_cap, intra_cap,
+             stab_cap) -> np.ndarray:
         """Tier-padded single transfer blob (layout: build_blob,
         mbparse.cpp)."""
-        counts = np.zeros(4, np.uint32)
+        counts = np.zeros(5, np.uint32)
         size = ct.c_uint64(0)
-        ptr = self._lib.h264tpu_blob(self._h, sparse_cap, exc_cap,
+        ptr = self._lib.h264tpu_blob(self._h, sparse_cap, wide_cap, exc_cap,
                                      intra_cap, stab_cap, counts,
                                      ct.byref(size))
         buf = (ct.c_char * size.value).from_address(ptr)

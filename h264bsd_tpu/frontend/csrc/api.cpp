@@ -115,21 +115,22 @@ const void* h264tpu_packed(void* inst, u64* size_bytes) {
 
 // Build the per-frame transfer blob. out_counts4 (optional pre-query with
 // build == 0): [n_sparse, n_exc, n_intra, n_slices].
-const void* h264tpu_blob(void* inst, u32 sparse_cap, u32 exc_cap,
-                         u32 intra_cap, u32 stab_cap, u32* out_counts4,
-                         u64* size_bytes) {
+const void* h264tpu_blob(void* inst, u32 sparse_cap, u32 wide_cap,
+                         u32 exc_cap, u32 intra_cap, u32 stab_cap,
+                         u32* out_counts5, u64* size_bytes) {
   FrameTensors& t = const_cast<FrameTensors&>(
       static_cast<Decoder*>(inst)->tensors());
   t.build_packed();
-  out_counts4[0] = u32(t.sparse_id.size());
-  out_counts4[1] = u32(t.mv_exc_id.size());
-  out_counts4[2] = u32(t.intra_mbs.size());
-  out_counts4[3] = u32(t.slice_table.size() / 4);
+  out_counts5[0] = u32(t.sparse_id.size());
+  out_counts5[1] = t.sparse_wide;
+  out_counts5[2] = u32(t.mv_exc_id.size());
+  out_counts5[3] = u32(t.intra_mbs.size());
+  out_counts5[4] = u32(t.slice_table.size() / 4);
   if (sparse_cap == 0) {  // size query only
     *size_bytes = 0;
     return nullptr;
   }
-  t.build_blob(sparse_cap, exc_cap, intra_cap, stab_cap);
+  t.build_blob(sparse_cap, wide_cap, exc_cap, intra_cap, stab_cap);
   *size_bytes = t.blob.size();
   return t.blob.data();
 }

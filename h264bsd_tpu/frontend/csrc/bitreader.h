@@ -5,6 +5,8 @@
 // are preserved.
 #pragma once
 
+#include <cstring>
+
 #include "common.h"
 
 namespace h264tpu {
@@ -24,10 +26,10 @@ class BitReader {
     if (bits_left <= 0) return 0;
     const u8* p = buf_ + (read_bits_ >> 3);
     u32 bit_pos = read_bits_ & 7;
-    if (bits_left >= 64) {  // fast path: unconditional 8-byte window
-      u64 w = (u64(p[0]) << 56) | (u64(p[1]) << 48) | (u64(p[2]) << 40) |
-              (u64(p[3]) << 32) | (u64(p[4]) << 24) | (u64(p[5]) << 16) |
-              (u64(p[6]) << 8) | u64(p[7]);
+    if (bits_left >= 64) {  // fast path: one unaligned load + byte swap
+      u64 w;
+      std::memcpy(&w, p, 8);
+      w = __builtin_bswap64(w);
       return u32(w >> (32 - bit_pos));
     }
     // tail: assemble byte by byte, zero-padded

@@ -166,6 +166,7 @@ Status decode_residual_block(BitReader& br, i32 nc, u32 max_num_coeff,
   u32 trailing_ones = (token >> 5) & 0x3F;
 
   u16 coeff_map = 0;
+  u32 abs_sum = 0;
   if (total_coeff != 0) {
     i32 level[16];
     u32 run[16];
@@ -242,16 +243,20 @@ Status decode_residual_block(BitReader& br, i32 nc, u32 max_num_coeff,
     u32 pos = zeros_left;
     coeff_level[pos] = i16(level[total_coeff - 1]);
     coeff_map = u16(1u << pos);
+    abs_sum = u32(level[total_coeff - 1] < 0 ? -level[total_coeff - 1]
+                                             : level[total_coeff - 1]);
     for (i = total_coeff - 1; i--;) {
       pos += run[i];
       coeff_map |= u16(1u << pos);
       coeff_level[pos] = i16(level[i]);
+      abs_sum += u32(level[i] < 0 ? -level[i] : level[i]);
     }
   }
 
   if (!ok(cache.finish())) return Status::kError;
   out->total_coeff = total_coeff;
   out->coeff_map = coeff_map;
+  out->abs_sum = abs_sum;
   return Status::kOk;
 }
 

@@ -15,6 +15,7 @@ namespace h264tpu {
 struct CavlcResult {
   u32 total_coeff = 0;
   u16 coeff_map = 0;  // bit i set = zigzag position i is non-zero
+  u32 abs_sum = 0;    // sum of |level| (feeds the O(1) IDCT range screen)
 };
 
 // Decode one residual block. nc is the coefficient-count context (-1 for

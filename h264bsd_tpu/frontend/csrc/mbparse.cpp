@@ -242,6 +242,7 @@ void FrameTensors::clear_picture() {
   ipcm_data.clear();
   sparse_id.clear();
   sparse_level.clear();
+  sparse_wide = 0;
   intra_mbs.clear();
   intra_payload.clear();
   mv_exc_id.clear();
@@ -323,21 +324,25 @@ void FrameTensors::build_packed() {
   }
 }
 
-void FrameTensors::build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap,
-                              u32 stab_cap) {
+void FrameTensors::build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
+                              u32 intra_cap, u32 stab_cap) {
   // layout (every section tier-padded so device offsets are static):
   //   [0]                packed records        n*16 B
   //   [A]                slice table           stab_cap*4 (i8)
   //   [B]                sparse ids            sparse_cap*4 (i32, pad n*26)
-  //   [C]                sparse levels         sparse_cap*32 (i16[16])
+  //   [C]                sparse levels         sparse_cap*16 (i8[16];
+  //                      values outside i8 go out as 0 + a wide escape)
+  //   [C1]               wide ids              wide_cap*4 (i32 = entry*16+
+  //                      pos, pad sparse_cap*16)
+  //   [C2]               wide values           wide_cap*4 (i32)
   //   [D]                mv-exception ids      exc_cap*4 (i32, pad n)
   //   [E]                mv-exception payload  exc_cap*80
   //   [F]                intra ids             intra_cap*4 (i32, pad n)
   //   [G]                intra payload         intra_cap*32
   const u32 n = n_mbs;
   const size_t sz = size_t(n) * 16 + size_t(stab_cap) * 4 +
-                    size_t(sparse_cap) * 36 + size_t(exc_cap) * 84 +
-                    size_t(intra_cap) * 36;
+                    size_t(sparse_cap) * 20 + size_t(wide_cap) * 8 +
+                    size_t(exc_cap) * 84 + size_t(intra_cap) * 36;
   blob.assign(sz, 0);
   u8* p = blob.data();
 
@@ -353,8 +358,25 @@ void FrameTensors::build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap,
     ids[i] = i < n_sparse ? i32(sparse_id[i]) : i32(n * 26);
   }
   p += size_t(sparse_cap) * 4;
-  std::memcpy(p, sparse_level.data(), size_t(n_sparse) * 32);
-  p += size_t(sparse_cap) * 32;
+
+  i8* l8 = reinterpret_cast<i8*>(p);
+  i32* wids = reinterpret_cast<i32*>(p + size_t(sparse_cap) * 16);
+  i32* wvals = wids + wide_cap;
+  for (u32 i = 0; i < wide_cap; ++i) {
+    wids[i] = i32(sparse_cap) * 16;  // device spare slot
+  }
+  u32 nw = 0;
+  for (u32 i = 0; i < n_sparse * 16; ++i) {
+    const i16 v = sparse_level[i];
+    if (v >= -128 && v <= 127) {
+      l8[i] = i8(v);
+    } else if (nw < wide_cap) {
+      wids[nw] = i32(i);
+      wvals[nw] = i32(v);
+      ++nw;
+    }
+  }
+  p += size_t(sparse_cap) * 16 + size_t(wide_cap) * 8;
 
   i32* eids = reinterpret_cast<i32*>(p);
   const u32 n_exc = std::min(u32(mv_exc_id.size()), exc_cap);
@@ -447,7 +469,8 @@ i32 MbParser::determine_nc(u32 addr, u32 slice_id, u32 block,
 
 Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
                                 u32 mb_type, u32 cbp, i16 levels[27][16],
-                                u16 coeff_maps[24], i16 total_coeff[27]) {
+                                u16 coeff_maps[24], i16 total_coeff[27],
+                                u32 abs_sums[27]) {
   // reference DecodeResidual macroblock_layer.c:700-796 (C path)
   const bool is16 = mb_is_i16(mb_type);
   CavlcResult res;
@@ -458,6 +481,7 @@ Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
       return Status::kError;
     }
     total_coeff[24] = i16(res.total_coeff);
+    abs_sums[24] = res.abs_sum;
   }
 
   u32 block = 0;
@@ -475,6 +499,7 @@ Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
         }
         if (!ok(s)) return Status::kError;
         total_coeff[block] = i16(res.total_coeff);
+        abs_sums[block] = res.abs_sum;
       }
     } else {
       block += 4;
@@ -487,6 +512,7 @@ Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
         return Status::kError;
       }
       total_coeff[25 + i] = i16(res.total_coeff);
+      abs_sums[25 + i] = res.abs_sum;
     }
   }
 
@@ -497,6 +523,7 @@ Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
         return Status::kError;
       }
       total_coeff[block] = i16(res.total_coeff);
+      abs_sums[block] = res.abs_sum;
       coeff_maps[block] = u16(res.coeff_map << 1);
     }
   }
@@ -504,7 +531,8 @@ Status MbParser::parse_residual(BitReader& br, u32 addr, u32 slice_id,
 }
 
 Status MbParser::residual_range_check(const i16 levels[27][16],
-                                      const i16 total_coeff[27], u32 mb_type,
+                                      const i16 total_coeff[27],
+                                      const u32 abs_sums[27], u32 mb_type,
                                       u32 qp_y,
                                       i32 chroma_qp_index_offset) const {
   // Replicates the [-512,511] IDCT range validation of the reference
@@ -624,12 +652,27 @@ Status MbParser::residual_range_check(const i16 levels[27][16],
     return sum + 32 <= 511 * 64;
   };
 
+  // O(1) pre-screen: |IDCT out| <= (L1 of dequantized inputs + 32) >> 6
+  // and every per-position scale is <= the per-QP max scale, so
+  // abs_sum * smax (+ |external dc|) bounds the exact per-position L1.
+  const i32 kBound = 511 * 64 - 32;
+  auto smax_of = [](u32 qp) {
+    const i32* row = kLevelScale[qp % 6];
+    i32 m = row[0] > row[1] ? row[0] : row[1];
+    if (row[2] > m) m = row[2];
+    return m << (qp / 6);
+  };
+  const i64 smax_y = smax_of(qp_y);
+  const i64 smax_c = smax_of(chroma_qp);
+
   static const i16 kZero16[16] = {};
   if (is16) {
     for (u32 z = 0; z < 16; ++z) {
       i32 dc = luma_dc[kZig2Ras[z]];
       const i16* scan = total_coeff[z] ? levels[z] : kZero16;
       if (dc || total_coeff[z]) {
+        i64 adc = dc < 0 ? -i64(dc) : i64(dc);
+        if (i64(abs_sums[z]) * smax_y + adc <= kBound) continue;
         if (!screen(scan, dc, true, qp_y) && !check_block(scan, dc, true, qp_y)) {
           return Status::kError;
         }
@@ -638,6 +681,7 @@ Status MbParser::residual_range_check(const i16 levels[27][16],
   } else {
     for (u32 z = 0; z < 16; ++z) {
       if (total_coeff[z]) {
+        if (i64(abs_sums[z]) * smax_y <= kBound) continue;
         if (!screen(levels[z], 0, false, qp_y) &&
             !check_block(levels[z], 0, false, qp_y)) {
           return Status::kError;
@@ -649,6 +693,8 @@ Status MbParser::residual_range_check(const i16 levels[27][16],
     i32 dc = chroma_dc[b - 16];
     const i16* scan = total_coeff[b] ? levels[b] : kZero16;
     if (dc || total_coeff[b]) {
+      i64 adc = dc < 0 ? -i64(dc) : i64(dc);
+      if (i64(abs_sums[b]) * smax_c + adc <= kBound) continue;
       if (!screen(scan, dc, true, chroma_qp) &&
           !check_block(scan, dc, true, chroma_qp)) {
         return Status::kError;
@@ -853,8 +899,9 @@ Status MbParser::mv_prediction(u32 addr, u32 slice_id, u32 mb_type,
 
 void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
                        u32 mb_class, const i16 levels[27][16],
-                       const u8 i4_avail[16], u8 avail, u8 i16_mode,
-                       u8 chroma_mode, FrameTensors* out) const {
+                       const u16 coeff_maps[24], const u8 i4_avail[16],
+                       u8 avail, u8 i16_mode, u8 chroma_mode,
+                       FrameTensors* out) const {
   out->mb_class[addr] = u8(mb_class);
   out->qp_y[addr] = cur.qp_y;
   out->slice_id[addr] = cur.slice_id;
@@ -867,15 +914,22 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   out->chroma_mode[addr] = chroma_mode;
   out->mb_avail[addr] = avail;
 
+  // raster-major loop: kZig2Ras is an involution, so iterating the
+  // raster index r with zigzag z = kZig2Ras[r] turns five scattered
+  // write streams into sequential ones (the reads stay in L1)
   u8* nnz = &out->nnz[addr * 24];
-  for (u32 z = 0; z < 16; ++z) {
-    u32 r = kZig2Ras[z];
+  u8* modes = &out->i4_modes[addr * 16];
+  u8* availv = &out->i4_avail[addr * 16];
+  i16* mvout = &out->mv[addr * 32];
+  i8* refout = &out->ref_slot[addr * 16];
+  for (u32 r = 0; r < 16; ++r) {
+    u32 z = kZig2Ras[r];
     nnz[r] = u8(cur.total_coeff[z]);
-    out->i4_modes[addr * 16 + r] = cur.intra4_modes[z];
-    out->i4_avail[addr * 16 + r] = i4_avail ? i4_avail[z] : 0;
-    out->mv[(addr * 16 + r) * 2 + 0] = cur.mv[z][0];
-    out->mv[(addr * 16 + r) * 2 + 1] = cur.mv[z][1];
-    out->ref_slot[addr * 16 + r] = cur.ref_slot[z >> 2];
+    modes[r] = cur.intra4_modes[z];
+    availv[r] = i4_avail ? i4_avail[z] : 0;
+    mvout[2 * r + 0] = cur.mv[z][0];
+    mvout[2 * r + 1] = cur.mv[z][1];
+    refout[r] = cur.ref_slot[z >> 2];
   }
   for (u32 b = 16; b < 24; ++b) nnz[b] = u8(cur.total_coeff[b]);
   out->nnz_dc[addr * 3 + 0] = u8(cur.total_coeff[24]);
@@ -892,20 +946,31 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   auto sparse_push = [&](u32 b, const i16* vals) {
     out->sparse_id.push_back(addr * 26 + b);
     out->sparse_level.insert(out->sparse_level.end(), vals, vals + 16);
+    for (u32 k = 0; k < 16; ++k) {
+      if (vals[k] < -128 || vals[k] > 127) ++out->sparse_wide;
+    }
   };
   i16 blk[16];
+  // the coefficient bitmaps from CAVLC let the scan->raster scatter touch
+  // only the non-zero positions (typically 2-5 of 16)
   for (u32 z = 0; z < 16; ++z) {
     if (!cur.total_coeff[z]) continue;
     std::memset(blk, 0, sizeof(blk));
     const i16* src = levels[z];
-    for (u32 s = is16 ? 1 : 0; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
+    for (u32 m = coeff_maps[z]; m; m &= m - 1) {
+      u32 s = u32(__builtin_ctz(m));
+      blk[kScan2Ras[s]] = src[s];
+    }
     sparse_push(kZig2Ras[z], blk);
   }
   for (u32 b = 16; b < 24; ++b) {
     if (!cur.total_coeff[b]) continue;
     std::memset(blk, 0, sizeof(blk));
     const i16* src = levels[b];
-    for (u32 s = 1; s < 16; ++s) blk[kScan2Ras[s]] = src[s];
+    for (u32 m = coeff_maps[b]; m; m &= m - 1) {
+      u32 s = u32(__builtin_ctz(m));
+      blk[kScan2Ras[s]] = src[s];
+    }
     sparse_push(b, blk);
   }
   if (is16 && cur.total_coeff[24]) {
@@ -970,7 +1035,7 @@ Status MbParser::parse_macroblock(BitReader& br, SliceContext& ctx, u32 addr,
       out->ipcm_mb.push_back(addr);
       out->ipcm_data.insert(out->ipcm_data.end(), pcm, pcm + 384);
     }
-    emit_mb(addr, ctx, cur, kMbIpcm, nullptr, nullptr, 0, 0, 0, out);
+    emit_mb(addr, ctx, cur, kMbIpcm, nullptr, nullptr, nullptr, 0, 0, 0, out);
     return Status::kOk;
   }
 
@@ -1066,6 +1131,7 @@ Status MbParser::parse_macroblock(BitReader& br, SliceContext& ctx, u32 addr,
   i16 levels[27][16];
   u16 coeff_maps[24] = {};
   i16 total_coeff[27] = {};
+  u32 abs_sums[27] = {};
   bool has_residual = cbp != 0 || mb_is_i16(mb_type);
   if (has_residual) {
     std::memset(levels, 0, sizeof(levels));
@@ -1075,7 +1141,7 @@ Status MbParser::parse_macroblock(BitReader& br, SliceContext& ctx, u32 addr,
       return Status::kError;
     }
     if (!ok(parse_residual(br, addr, slice_id, mb_type, cbp, levels,
-                           coeff_maps, total_coeff))) {
+                           coeff_maps, total_coeff, abs_sums))) {
       MBDBG("err: residual mb=%u type=%u cbp=%u\n", addr, mb_type, cbp);
       return Status::kError;
     }
@@ -1094,7 +1160,8 @@ Status MbParser::parse_macroblock(BitReader& br, SliceContext& ctx, u32 addr,
     // IDCT range validation for error-path parity (the reference fails the
     // slice when any transformed residual leaves [-512,511])
     if (has_residual &&
-        !ok(residual_range_check(levels, total_coeff, mb_type, cur.qp_y,
+        !ok(residual_range_check(levels, total_coeff, abs_sums, mb_type,
+                                 cur.qp_y,
                                  ctx.pps->chroma_qp_index_offset))) {
       MBDBG("err: range_check mb=%u type=%u qp=%u\n", addr, mb_type, cur.qp_y);
       return Status::kError;
@@ -1181,8 +1248,8 @@ Status MbParser::parse_macroblock(BitReader& br, SliceContext& ctx, u32 addr,
                  : inter ? kMbInter
                  : mb_is_i4(mb_type) ? kMbIntra4 : kMbIntra16;
   emit_mb(addr, ctx, cur, mb_class, has_residual ? levels : nullptr,
-          mb_is_i4(mb_type) ? i4_avail : nullptr, avail, i16_mode, chroma_mode,
-          out);
+          coeff_maps, mb_is_i4(mb_type) ? i4_avail : nullptr, avail,
+          i16_mode, chroma_mode, out);
   return Status::kOk;
 }
 

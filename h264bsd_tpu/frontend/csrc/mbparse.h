@@ -80,6 +80,7 @@ struct FrameTensors {
   // 25 = chroma DC (8 values, padded to 16). Levels raster-ordered.
   std::vector<u32> sparse_id;
   std::vector<i16> sparse_level;  // 16 per entry
+  u32 sparse_wide = 0;  // levels outside i8 range (escape entries in blob)
 
   // single-buffer packed per-MB metadata for one-shot host->device
   // transfer; 16 bytes per MB, see build_packed()
@@ -97,7 +98,8 @@ struct FrameTensors {
   // single tier-padded transfer blob (see build_blob): one host->device
   // copy per frame instead of eight
   std::vector<u8> blob;
-  void build_blob(u32 sparse_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap);
+  void build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
+                  u32 intra_cap, u32 stab_cap);
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 
@@ -169,17 +171,19 @@ class MbParser {
                           const Dpb& dpb, FrameTensors* out, bool skipped);
   Status parse_residual(BitReader& br, u32 addr, u32 slice_id, u32 mb_type,
                         u32 cbp, i16 levels[27][16], u16 coeff_maps[24],
-                        i16 total_coeff[27]);
+                        i16 total_coeff[27], u32 abs_sums[27]);
   Status mv_prediction(u32 addr, u32 slice_id, u32 mb_type,
                        const u32 ref_idx[4], const i16 mvd[16][2],
                        const u8 sub_types[4], const Dpb& dpb, HostMb* cur);
   Status residual_range_check(const i16 levels[27][16],
-                              const i16 total_coeff[27], u32 mb_type,
+                              const i16 total_coeff[27],
+                              const u32 abs_sums[27], u32 mb_type,
                               u32 qp_y, i32 chroma_qp_index_offset) const;
   void emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
                u32 mb_class, const i16 levels[27][16],
-               const u8 i4_avail[16], u8 mb_avail, u8 i16_mode,
-               u8 chroma_mode, FrameTensors* out) const;
+               const u16 coeff_maps[24], const u8 i4_avail[16],
+               u8 mb_avail, u8 i16_mode, u8 chroma_mode,
+               FrameTensors* out) const;
 
   u32 width_mbs_ = 0, height_mbs_ = 0, n_mbs_ = 0;
   std::vector<HostMb> mbs_;

@@ -236,7 +236,7 @@ class Decoder:
 
         # tier selection so only a handful of step shapes ever compile;
         # the C++ side pads every sparse stream into one transfer blob
-        n_sparse, n_exc, n_intra, n_slices = (
+        n_sparse, n_wide, n_exc, n_intra, n_slices = (
             int(x) for x in self._fe.blob_counts())
 
         def tier(length, tiers):
@@ -247,6 +247,7 @@ class Decoder:
         # lands in the persistent cache
         cap = tier(n_sparse, tuple(2048 << i for i in range(8)) +
                    (max(n_mbs * 26, 2048),))
+        wcap = tier(n_wide, (64, 1024, 16384, max(cap * 16, 64)))
         ecap = tier(n_exc, tuple(256 << i for i in range(8)) +
                     (max(n_mbs, 256),))
         scap = tier(n_slices, (32, max(n_mbs, 32)))
@@ -254,11 +255,11 @@ class Decoder:
         # (I frames) -> anti-diagonal wavefront pass
         wavefront = n_intra > 512
         icap = tier(n_intra, (512, n_mbs) if not wavefront else (n_mbs,))
-        blob = self._fe.blob(cap, ecap, icap, scap)
+        blob = self._fe.blob(cap, wcap, ecap, icap, scap)
 
         ipcm = self._fe.ipcm()
         return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
-                    blob=blob, caps=(cap, ecap, icap, scap),
+                    blob=blob, caps=(cap, wcap, ecap, icap, scap),
                     wavefront=wavefront, ipcm=ipcm,
                     non_existing=non_existing)
 

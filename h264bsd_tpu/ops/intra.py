@@ -296,12 +296,14 @@ def intra_mb_luma(y_plane, mb_x, mb_y, is_i4, i4_modes, i4_avail, i16_mode,
         return lax.fori_loop(0, 16, block_step, plane)
 
     def do_i16(plane):
-        above = lax.dynamic_slice(plane, (jnp.maximum(mb_y - 1, 0),
-                                          jnp.maximum(mb_x - 1, 0)),
-                                  (1, 17))[0].astype(jnp.int32)
+        # only the corner pel comes from the (x-1) column; a wider slice
+        # would overflow a one-MB-wide picture
+        corner = lax.dynamic_slice(plane, (jnp.maximum(mb_y - 1, 0),
+                                           jnp.maximum(mb_x - 1, 0)),
+                                   (1, 1))[0].astype(jnp.int32)
         above_noc = lax.dynamic_slice(plane, (jnp.maximum(mb_y - 1, 0), mb_x),
                                       (1, 16))[0].astype(jnp.int32)
-        above = jnp.concatenate([above[0][None], above_noc])
+        above = jnp.concatenate([corner, above_noc])
         left = lax.dynamic_slice(plane, (mb_y, jnp.maximum(mb_x - 1, 0)),
                                  (16, 1))[:, 0].astype(jnp.int32)
         pred = predict_16x16(i16_mode, above, left, mb_avail)
@@ -314,12 +316,12 @@ def intra_mb_luma(y_plane, mb_x, mb_y, is_i4, i4_modes, i4_avail, i16_mode,
 def intra_mb_chroma(plane, cb_x, cb_y, mode, mb_avail, resid):
     """One chroma plane of one intra MB. cb_x/cb_y in chroma pels;
     resid: (8, 8) int32."""
-    above = lax.dynamic_slice(plane, (jnp.maximum(cb_y - 1, 0),
-                                      jnp.maximum(cb_x - 1, 0)),
-                              (1, 9))[0].astype(jnp.int32)
+    corner = lax.dynamic_slice(plane, (jnp.maximum(cb_y - 1, 0),
+                                       jnp.maximum(cb_x - 1, 0)),
+                               (1, 1))[0].astype(jnp.int32)
     above_noc = lax.dynamic_slice(plane, (jnp.maximum(cb_y - 1, 0), cb_x),
                                   (1, 8))[0].astype(jnp.int32)
-    above = jnp.concatenate([above[0][None], above_noc])
+    above = jnp.concatenate([corner, above_noc])
     left = lax.dynamic_slice(plane, (cb_y, jnp.maximum(cb_x - 1, 0)),
                              (8, 1))[:, 0].astype(jnp.int32)
     pred = predict_chroma(mode, above, left, mb_avail)

@@ -90,9 +90,14 @@ def densify_residual(sparse_ids, sparse_levels, n_mbs):
     return buf[:, :24], buf[:, 24], buf[:, 25, :8]
 
 
-def unpack_blob(blob, n_mbs, sparse_cap, exc_cap, intra_cap, stab_cap):
+def unpack_blob(blob, n_mbs, sparse_cap, wide_cap, exc_cap, intra_cap,
+                stab_cap):
     """Split the single transfer blob (FrameTensors::build_blob layout)
-    into the eight streams; all offsets are static per tier combo."""
+    into the eight streams; all offsets are static per tier combo.
+
+    Sparse levels travel as int8 (they almost always fit); the rare
+    out-of-range values arrive as a wide-escape list (flat position,
+    int32 value) scattered back over the widened int16 array here."""
     n = n_mbs
     off = 0
 
@@ -107,8 +112,15 @@ def unpack_blob(blob, n_mbs, sparse_cap, exc_cap, intra_cap, stab_cap):
         .reshape(stab_cap, 4)
     ids = lax.bitcast_convert_type(take(sparse_cap * 4).reshape(-1, 4),
                                    jnp.int32)
-    levels = lax.bitcast_convert_type(take(sparse_cap * 32).reshape(-1, 16, 2),
-                                      jnp.int16)
+    lv8 = lax.bitcast_convert_type(take(sparse_cap * 16), jnp.int8)
+    wide_ids = lax.bitcast_convert_type(take(wide_cap * 4).reshape(-1, 4),
+                                        jnp.int32)
+    wide_vals = lax.bitcast_convert_type(take(wide_cap * 4).reshape(-1, 4),
+                                         jnp.int32)
+    flat = jnp.concatenate([lv8.astype(jnp.int16),
+                            jnp.zeros((1,), jnp.int16)])
+    flat = flat.at[wide_ids].set(wide_vals.astype(jnp.int16))
+    levels = flat[:sparse_cap * 16].reshape(sparse_cap, 16)
     eids = lax.bitcast_convert_type(take(exc_cap * 4).reshape(-1, 4),
                                     jnp.int32)
     epay = take(exc_cap * 80).reshape(-1, 80)

@@ -116,19 +116,20 @@ class MultiStreamDecoder:
         n_mbs = g["width_mbs"] * g["height_mbs"]
         # shared tier caps for the round (same ladder as the single-stream
         # path so compiled shapes are shared with it where N matches)
-        mx = [max(c[k] for c, _, _ in ready.values()) for k in range(4)]
+        mx = [max(c[k] for c, _, _ in ready.values()) for k in range(5)]
         cap = _tier(mx[0], tuple(2048 << i for i in range(8)) +
                     (max(n_mbs * 26, 2048),))
-        ecap = _tier(mx[1], tuple(256 << i for i in range(8)) +
+        wcap = _tier(mx[1], (64, 1024, 16384, max(cap * 16, 64)))
+        ecap = _tier(mx[2], tuple(256 << i for i in range(8)) +
                      (max(n_mbs, 256),))
-        scap = _tier(mx[3], (32, max(n_mbs, 32)))
-        wavefront = mx[2] > 512
-        icap = _tier(mx[2], (512, n_mbs) if not wavefront else (n_mbs,))
-        caps = (cap, ecap, icap, scap)
+        scap = _tier(mx[4], (32, max(n_mbs, 32)))
+        wavefront = mx[3] > 512
+        icap = _tier(mx[3], (512, n_mbs) if not wavefront else (n_mbs,))
+        caps = (cap, wcap, ecap, icap, scap)
 
         if caps not in self._zero_blob:
-            size = (n_mbs * 16 + scap * 4 + cap * 36 + ecap * 84 +
-                    icap * 36)
+            size = (n_mbs * 16 + scap * 4 + cap * 20 + wcap * 8 +
+                    ecap * 84 + icap * 36)
             self._zero_blob[caps] = np.zeros(size, np.uint8)
         n_scratch = self.dpb[0].shape[1] - 1
 

@@ -94,7 +94,12 @@ def run_multichip_dryrun(n_devices: int) -> None:
     from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
-    devices = np.array(jax.devices()[:n_devices])
+    avail = jax.devices()
+    if len(avail) < n_devices:
+        # the axon TPU plugin overrides JAX_PLATFORMS=cpu; the host
+        # backend still exposes the forced virtual device count
+        avail = jax.devices("cpu")
+    devices = np.array(avail[:n_devices])
     if n_devices % 2 == 0:
         mesh_shape = (n_devices // 2, 2)
     else:

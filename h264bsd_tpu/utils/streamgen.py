@@ -72,14 +72,23 @@ def _nal(nal_header: int, payload: BitWriter) -> bytes:
         _ebsp(payload.rbsp_trailing().bytes_rbsp())
 
 
-def _sps(width_mbs: int, height_mbs: int) -> bytes:
+def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
+         zero_reorder_vui: bool = False) -> bytes:
     w = BitWriter()
     w.u(66, 8)          # profile_idc baseline
     w.u(0, 8)           # constraint flags + reserved
     w.u(10, 8)          # level_idc
     w.ue(0)             # seq_parameter_set_id
     w.ue(0)             # log2_max_frame_num_minus4
-    w.ue(2)             # pic_order_cnt_type
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(0)         # log2_max_pic_order_cnt_lsb_minus4 (lsb = 4 bits)
+    elif poc_type == 1:
+        w.u(0, 1)       # delta_pic_order_always_zero_flag
+        w.se(0)         # offset_for_non_ref_pic
+        w.se(0)         # offset_for_top_to_bottom_field
+        w.ue(1)         # num_ref_frames_in_pic_order_cnt_cycle
+        w.se(2)         # offset_for_ref_frame[0]
     w.ue(1)             # max_num_ref_frames
     w.u(0, 1)           # gaps_in_frame_num_value_allowed
     w.ue(width_mbs - 1)
@@ -87,17 +96,42 @@ def _sps(width_mbs: int, height_mbs: int) -> bytes:
     w.u(1, 1)           # frame_mbs_only_flag
     w.u(0, 1)           # direct_8x8_inference
     w.u(0, 1)           # frame_cropping_flag
-    w.u(0, 1)           # vui_parameters_present
+    if not zero_reorder_vui:
+        w.u(0, 1)       # vui_parameters_present
+    else:
+        # VUI with bitstream restriction num_reorder_frames = 0: makes
+        # output immediate (the reference posix app crashes on a NULL
+        # picture if PIC_RDY does not yield an output picture at once —
+        # savePic test_h264bsd.c:58 — so reordered streams need this)
+        w.u(1, 1)       # vui_parameters_present
+        w.u(0, 1)       # aspect_ratio_info_present
+        w.u(0, 1)       # overscan_info_present
+        w.u(0, 1)       # video_signal_type_present
+        w.u(0, 1)       # chroma_loc_info_present
+        w.u(0, 1)       # timing_info_present
+        w.u(0, 1)       # nal_hrd_parameters_present
+        w.u(0, 1)       # vcl_hrd_parameters_present
+        w.u(0, 1)       # pic_struct_present
+        w.u(1, 1)       # bitstream_restriction_flag
+        w.u(1, 1)       # motion_vectors_over_pic_boundaries
+        w.ue(2)         # max_bytes_per_pic_denom
+        w.ue(1)         # max_bits_per_mb_denom
+        w.ue(16)        # log2_max_mv_length_horizontal
+        w.ue(16)        # log2_max_mv_length_vertical
+        w.ue(0)         # num_reorder_frames
+        w.ue(1)         # max_dec_frame_buffering
     return _nal(0x67, w)
 
 
-def _pps(init_qp: int) -> bytes:
+def _pps(init_qp: int, num_slice_groups: int = 1) -> bytes:
     w = BitWriter()
     w.ue(0)             # pic_parameter_set_id
     w.ue(0)             # seq_parameter_set_id
     w.u(0, 1)           # entropy_coding_mode (CAVLC)
     w.u(0, 1)           # bottom_field_pic_order_in_frame_present
-    w.ue(0)             # num_slice_groups_minus1
+    w.ue(num_slice_groups - 1)
+    if num_slice_groups > 1:
+        w.ue(1)         # slice_group_map_type 1 (dispersed)
     w.ue(0)             # num_ref_idx_l0_default_active_minus1
     w.ue(0)             # num_ref_idx_l1_default_active_minus1
     w.u(0, 1)           # weighted_pred_flag
@@ -153,6 +187,81 @@ def _i4_mb(w: BitWriter, dc_level: int):
     # blocks 1-3 (nC contexts 1, 1, 0): TotalCoeff 0
     for _ in range(3):
         w.u(*_COEFF_TOKEN_TC0_NC02)
+
+
+def _plain_i4_mb(w: BitWriter):
+    """One I_4x4 macroblock with no residual (cbp 0, predicted modes)."""
+    w.ue(0)                                   # mb_type I_4x4
+    for _ in range(16):
+        w.u(1, 1)                             # prev_intra4x4_pred_mode_flag
+    w.ue(0)                                   # intra_chroma_pred_mode DC
+    w.ue(3)                                   # me(v): codeNum 3 -> intra cbp 0
+    # cbp 0 and not I_16x16 -> no mb_qp_delta, no residual
+
+
+def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
+                  frame_num: int, idr: bool, poc_type: int, poc_lsb: int):
+    w.ue(first_mb)
+    w.ue(slice_type)    # +5 forms: all slices of the picture are this type
+    w.ue(0)             # pic_parameter_set_id
+    w.u(frame_num, 4)   # log2_max_frame_num = 4
+    if idr:
+        w.ue(0)         # idr_pic_id
+    if poc_type == 0:
+        w.u(poc_lsb, 4)  # pic_order_cnt_lsb (log2 = 4)
+    elif poc_type == 1:
+        w.se(0)         # delta_pic_order_cnt[0]
+    if slice_type % 5 == 0:  # P
+        w.u(0, 1)       # num_ref_idx_active_override_flag
+        w.u(0, 1)       # ref_pic_list_reordering_flag_l0
+    # dec_ref_pic_marking (nal_ref_idc != 0)
+    if idr:
+        w.u(0, 1)       # no_output_of_prior_pics_flag
+        w.u(0, 1)       # long_term_reference_flag
+    else:
+        w.u(0, 1)       # adaptive_ref_pic_marking_mode_flag
+    w.se(0)             # slice_qp_delta
+
+
+def make_conformance_stream(width_mbs: int = 4, height_mbs: int = 4,
+                            n_frames: int = 4, qp: int = 26,
+                            poc_type: int = 2,
+                            num_slice_groups: int = 1,
+                            slices_per_frame: int = 1) -> bytes:
+    """IDR + (n_frames-1) all-skip P frames. Every intra MB is a plain
+    DC-predicted I_4x4 (no residual). Exercises slice segmentation, FMO
+    dispersed maps, POC types 0/1/2 and the multi-frame DPB/MC path with
+    crafted bits; the oracle is the reference decoder binary."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, poc_type,
+               zero_reorder_vui=poc_type != 2) + _pps(qp, num_slice_groups)
+
+    # IDR picture: intra MBs, split into slice groups and/or slices
+    if num_slice_groups > 1:
+        # dispersed (map type 1): group of MB i = (i%w + i/w) % groups.
+        # one slice per group, MBs in ascending address order
+        groups = [[i for i in range(n_mbs)
+                   if (i % width_mbs + i // width_mbs) % num_slice_groups
+                   == g] for g in range(num_slice_groups)]
+    else:
+        per = (n_mbs + slices_per_frame - 1) // slices_per_frame
+        groups = [list(range(s, min(s + per, n_mbs)))
+                  for s in range(0, n_mbs, per)]
+    for mbs in groups:
+        w = BitWriter()
+        _slice_header(w, mbs[0], 7, 0, True, poc_type, 0)
+        for _ in mbs:
+            _plain_i4_mb(w)
+        out += _nal(0x65, w)
+
+    for f in range(1, n_frames):
+        for mbs in groups:  # P slices follow the same slice-group map
+            w = BitWriter()
+            _slice_header(w, mbs[0], 5, f % 16, False, poc_type,
+                          (2 * f) % 16)
+            w.ue(len(mbs))  # mb_skip_run: the slice group's whole stripe
+            out += _nal(0x61, w)
+    return out
 
 
 def make_lowqp_i_stream(dc_level: int = 200, qp: int = 2) -> bytes:

@@ -398,7 +398,9 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+    # depth absorbs tunnel-transfer jitter without unbounded
+    # parse-ahead memory (one ~0.5 MB blob per slot @1080p)
+    q: "queue.Queue" = queue.Queue(maxsize=6)
     counter = {"n": 0}
 
     def producer():

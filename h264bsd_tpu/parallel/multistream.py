@@ -211,7 +211,7 @@ class MultiStreamDecoder:
                 pass
             return [len(o) for o in self.outputs]
 
-        q: queue.Queue = queue.Queue(maxsize=2)
+        q: queue.Queue = queue.Queue(maxsize=4)
         err = []
 
         def producer():

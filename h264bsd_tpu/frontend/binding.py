@@ -49,6 +49,8 @@ def _configure(L: ct.CDLL) -> None:
         ct.c_uint32,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ct.POINTER(ct.c_uint64)]
+    L.h264tpu_flush_buffer.restype = None
+    L.h264tpu_flush_buffer.argtypes = [ct.c_void_p]
     L.h264tpu_take_non_existing.restype = ct.c_uint32
     L.h264tpu_take_non_existing.argtypes = [
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -146,8 +148,9 @@ class FrontendDecoder:
         self._lib.h264tpu_stream_info(self._h, out)
         keys = ["width_mbs", "height_mbs", "dpb_slots", "crop_flag",
                 "crop_left", "crop_width", "crop_top", "crop_height",
-                "sar_width", "sar_height", "profile", "full_range"]
-        return dict(zip(keys, out[:12].tolist()))
+                "sar_width", "sar_height", "profile", "full_range",
+                "n_slots", "matrix_coefficients"]
+        return dict(zip(keys, out[:14].tolist()))
 
     def pic_info(self) -> dict:
         out = np.zeros(12, np.int32)
@@ -256,6 +259,11 @@ class FrontendDecoder:
     def intra_payload(self) -> np.ndarray:
         """u8[K,32]: i4 modes[16] + avail[16] per intra_list entry."""
         return self._raw(29, np.uint8).reshape(-1, 32)
+
+    def flush_buffer(self):
+        """Drain the DPB into the output queue (h264bsdFlushBuffer,
+        reference decoder.c:834)."""
+        self._lib.h264tpu_flush_buffer(self._h)
 
     def next_output(self):
         out = np.zeros(4, np.int32)

@@ -46,7 +46,14 @@ void h264tpu_stream_info(void* inst, u32* out16) {
   out16[10] = d->profile();
   out16[11] = d->video_full_range() ? 1 : 0;
   out16[12] = d->dpb_n_slots();
-  out16[13] = out16[14] = out16[15] = 0;
+  out16[13] = d->matrix_coefficients();
+  out16[14] = out16[15] = 0;
+}
+
+// reference h264bsdFlushBuffer: force every pending picture into the
+// display-order output queue (drain with h264tpu_next_output)
+void h264tpu_flush_buffer(void* inst) {
+  static_cast<Decoder*>(inst)->flush_buffer();
 }
 
 // out12: [slot, pic_id, is_idr, poc, frame_num, n_concealed, slice_type,

@@ -576,4 +576,13 @@ bool Decoder::video_full_range() const {
          active_sps_->vui->video_full_range;
 }
 
+u32 Decoder::matrix_coefficients() const {
+  if (active_sps_ && active_sps_->vui_present && active_sps_->vui &&
+      active_sps_->vui->video_signal_type_present &&
+      active_sps_->vui->colour_description_present) {
+    return active_sps_->vui->matrix_coefficients;
+  }
+  return 2;  // default: unspecified
+}
+
 }  // namespace h264tpu

@@ -89,6 +89,11 @@ class Decoder {
   void sample_aspect_ratio(u32* sar_w, u32* sar_h) const;
   u32 profile() const { return active_sps_ ? active_sps_->profile_idc : 0; }
   bool video_full_range() const;
+  // reference h264bsdMatrixCoefficients decoder.c:928 (2 = unspecified)
+  u32 matrix_coefficients() const;
+  // reference h264bsdFlushBuffer decoder.c:834: drain the whole DPB into
+  // the display-order output queue
+  void flush_buffer() { dpb_.flush(); }
 
  private:
   u32 decode_inner(const u8* data, u32 len, u32 pic_id, u32* read_bytes);

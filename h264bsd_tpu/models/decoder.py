@@ -365,6 +365,18 @@ class Decoder:
     def profile(self):
         return self._geom["profile"]
 
+    def matrix_coefficients(self):
+        """VUI matrix_coefficients, 2 (unspecified) when absent
+        (reference h264bsdMatrixCoefficients decoder.c:928)."""
+        return self._geom["matrix_coefficients"] if self._geom else 2
+
+    def flush_buffer(self):
+        """Force every pending picture into the display-order output
+        queue (reference h264bsdFlushBuffer decoder.c:834); drain with
+        next_output_picture(). Useful at end of stream when reordering
+        holds the last pictures back."""
+        self._fe.flush_buffer()
+
     def video_full_range(self):
         return bool(self._geom["full_range"])
 

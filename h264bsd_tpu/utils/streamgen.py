@@ -199,6 +199,46 @@ def _plain_i4_mb(w: BitWriter):
     # cbp 0 and not I_16x16 -> no mb_qp_delta, no residual
 
 
+def _rich_i4_mb(w: BitWriter, seed: int):
+    """Interior I_4x4 macroblock with explicit varied prediction modes and
+    one coefficient in every luma block (cbp 15). Only legal when all
+    neighbour MBs exist (every mode's source pels are available)."""
+    w.ue(0)                                   # mb_type I_4x4
+    for b in range(16):
+        w.u(0, 1)                             # prev_intra4x4_pred_mode_flag
+        w.u((seed + b) % 8, 3)                # rem_intra4x4_pred_mode
+    w.ue(seed % 4)                            # intra_chroma_pred_mode
+    w.ue(2)                                   # me(v): codeNum 2 -> intra cbp 15
+    w.se(0)                                   # mb_qp_delta
+    for b in range(16):                       # one DC coefficient per block
+        w.u(*_COEFF_TOKEN_TC1_T10_NC02)
+        lvl = 2 + (seed + b) % 9
+        _write_level(w, lvl if (seed + b) % 2 == 0 else -lvl)
+        w.u(*_TOTAL_ZEROS_0_TC1)
+
+
+def make_intra_stress_stream(width_mbs: int = 16, height_mbs: int = 9,
+                             n_frames: int = 3, qp: int = 26) -> bytes:
+    """All-I stream (BASELINE config 3 analogue): every interior MB uses
+    explicit varied intra modes with residual in all 16 luma blocks;
+    border MBs are plain DC-predicted. Stresses the CAVLC front-end and
+    the device intra wavefront."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2) + _pps(qp)
+    for f in range(n_frames):
+        w = BitWriter()
+        _slice_header(w, 0, 7, f % 16, f == 0, 2, 0)
+        for i in range(n_mbs):
+            r, c = divmod(i, width_mbs)
+            interior = 0 < r and 0 < c < width_mbs - 1
+            if interior:
+                _rich_i4_mb(w, seed=i * 7 + f)
+            else:
+                _plain_i4_mb(w)
+        out += _nal(0x65 if f == 0 else 0x61, w)
+    return out
+
+
 def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
                   frame_num: int, idr: bool, poc_type: int, poc_lsb: int):
     w.ue(first_mb)

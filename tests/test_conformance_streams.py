@@ -11,7 +11,8 @@ import pytest
 
 from h264bsd_tpu.models.decoder import decode_stream
 from h264bsd_tpu.utils import golden
-from h264bsd_tpu.utils.streamgen import make_conformance_stream
+from h264bsd_tpu.utils.streamgen import (make_conformance_stream,
+                                         make_intra_stress_stream)
 
 CASES = {
     "multi_frame": dict(n_frames=4),
@@ -41,6 +42,62 @@ def test_crafted_stream_bit_exact(name, tmp_path):
                   256 * 3 // 2)
     assert len(ref) == kw["n_frames"] * frame_size
 
+    pics = list(decode_stream(data))
+    assert len(pics) == kw["n_frames"]
+    ours = b"".join(np.asarray(plane).tobytes()
+                    for p in pics for plane in p.yuv_planes())
+    assert ours == ref
+
+
+def test_flush_buffer_drains_pending_pictures():
+    """h264bsdFlushBuffer equivalent: a reordered (POC type 0) stream
+    without the zero-reorder VUI holds every picture in the DPB; flush
+    must drain them in display order with the same content the
+    immediate-output variant produces."""
+    from h264bsd_tpu.models.decoder import Decoder, PIC_RDY
+    import h264bsd_tpu.utils.streamgen as sg
+
+    data_vui = make_conformance_stream(n_frames=4, poc_type=0)
+    nals = data_vui.split(b"\x00\x00\x00\x01")[1:]
+    slices = [n for n in nals if n[0] & 0x1F in (1, 5)]
+    data_novui = (sg._sps(4, 4, 0) + sg._pps(26) +
+                  b"".join(b"\x00\x00\x00\x01" + s for s in slices))
+
+    dec = Decoder()
+    pos, outs = 0, []
+    while pos < len(data_novui):
+        s, r = dec.decode(data_novui[pos:], pic_id=len(outs))
+        pos += r
+        while (p := dec.next_output_picture()) is not None:
+            outs.append(p)
+    assert outs == []          # everything pending
+    dec.flush_buffer()
+    while (p := dec.next_output_picture()) is not None:
+        outs.append(p)
+    assert len(outs) == 4
+    assert dec.matrix_coefficients() == 2  # no colour description in VUI
+
+    ref = list(decode_stream(data_vui))
+    for a, b in zip(outs, ref):
+        for pa, pb in zip(a.yuv_planes(), b.yuv_planes()):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(width_mbs=16, height_mbs=9, n_frames=3),
+    dict(width_mbs=6, height_mbs=4, n_frames=2, qp=12),
+])
+def test_intra_stress_bit_exact(kw, tmp_path):
+    """All-I stream with explicit varied intra modes + residual in every
+    luma block (BASELINE config 3 analogue, small geometry)."""
+    data = make_intra_stress_stream(**kw)
+    stream = tmp_path / "s.h264"
+    out = tmp_path / "s.yuv"
+    stream.write_bytes(data)
+    subprocess.run([str(golden.reference_binary()), "-o", str(out),
+                    str(stream)], check=True, capture_output=True,
+                   timeout=120)
+    ref = out.read_bytes()
     pics = list(decode_stream(data))
     assert len(pics) == kw["n_frames"]
     ours = b"".join(np.asarray(plane).tobytes()

@@ -26,7 +26,7 @@ def _configure(L: ct.CDLL) -> None:
     L.h264tpu_destroy.argtypes = [ct.c_void_p]
     L.h264tpu_decode.restype = ct.c_uint32
     L.h264tpu_decode.argtypes = [
-        ct.c_void_p, ct.c_char_p, ct.c_uint32, ct.c_uint32,
+        ct.c_void_p, ct.c_void_p, ct.c_uint32, ct.c_uint32,
         ct.POINTER(ct.c_uint32),
     ]
     L.h264tpu_stream_info.restype = None
@@ -136,11 +136,27 @@ class FrontendDecoder:
     def __del__(self):
         self.close()
 
-    def decode(self, data: bytes, pic_id: int = 0) -> tuple[int, int]:
-        """Decode one NAL unit; returns (status, bytes_consumed)."""
+    def decode(self, data, pic_id: int = 0, offset: int = 0,
+               length: int | None = None) -> tuple[int, int]:
+        """Decode one NAL unit starting at `offset`; returns
+        (status, bytes_consumed). bytes and bytearray inputs are passed
+        zero-copy (the C++ side never modifies the input, unlike the
+        reference's in-place EPB strip); `offset`/`length` avoid slicing
+        large streaming buffers per NAL."""
         read = ct.c_uint32(0)
-        status = self._lib.h264tpu_decode(self._h, data, len(data), pic_id,
-                                          ct.byref(read))
+        n = (len(data) - offset) if length is None else length
+        if isinstance(data, bytes):
+            ptr = ct.c_void_p(ct.cast(data, ct.c_void_p).value + offset)
+            status = self._lib.h264tpu_decode(self._h, ptr, n, pic_id,
+                                              ct.byref(read))
+        else:
+            buf = (ct.c_ubyte * n).from_buffer(data, offset)
+            try:
+                status = self._lib.h264tpu_decode(self._h, buf, n, pic_id,
+                                                  ct.byref(read))
+            finally:
+                del buf   # release the buffer export before the caller
+                          # resizes the underlying bytearray
         return status, read.value
 
     def stream_info(self) -> dict:

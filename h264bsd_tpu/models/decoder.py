@@ -199,9 +199,10 @@ class Decoder:
 
     # -- decoding ----------------------------------------------------------
 
-    def decode(self, data: bytes, pic_id: int = 0):
+    def decode(self, data, pic_id: int = 0, offset: int = 0,
+               length: int | None = None):
         """Decode one NAL unit; returns (status, bytes_consumed)."""
-        status, read = self._fe.decode(data, pic_id)
+        status, read = self._fe.decode(data, pic_id, offset, length)
         if status == fe.HDRS_RDY:
             self._geom = self._fe.stream_info()
             self._dpb = None  # realloc lazily at the next picture

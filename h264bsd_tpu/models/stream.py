@@ -6,6 +6,15 @@ queueInput/decode/nextOutputPicture* and wasm/h264bsd_worker.js's
 Feed arbitrary byte chunks with queue_input(); pictures and header events
 are delivered through callbacks. Unlike the wasm wrapper there is no
 emscripten-heap copy boundary — pictures hand out device arrays directly.
+
+One robustness improvement over the reference wrapper: the session
+delimits Annex-B NAL units itself and only feeds complete ones to the
+decoder. The reference passes whatever is buffered, so a chunk boundary
+inside a slice makes the C decoder treat buffer-end as NAL-end and decode
+a truncated slice (the worker then halts on the resulting decodeError,
+h264bsd_worker.js:70-77). Here the trailing partial NAL simply waits for
+the next chunk; pass final=True with the last chunk (or call
+end_of_stream()) to flush it.
 """
 
 from __future__ import annotations
@@ -28,22 +37,42 @@ class StreamingDecoder:
     _dec: Decoder = field(default_factory=Decoder)
     _buf: bytearray = field(default_factory=bytearray)
     _pos: int = 0
+    _limit: int = 0     # bytes [.._limit) hold only complete NAL units
+    _final: bool = False
     _n_pics: int = 0
 
-    def queue_input(self, data: bytes) -> None:
-        # drop consumed prefix lazily to keep the buffer bounded
+    def queue_input(self, data: bytes = b"", final: bool = False) -> None:
+        # drop the consumed prefix lazily to keep the buffer bounded
         if self._pos > 1 << 20:
             del self._buf[:self._pos]
+            self._limit -= self._pos
             self._pos = 0
         self._buf.extend(data)
+        if final:
+            self._final = True
+        if self._final:
+            self._limit = len(self._buf)
+            return
+        # expose bytes only up to the start of the last (possibly still
+        # incomplete) NAL unit: find the final Annex-B start code
+        idx = self._buf.rfind(b"\x00\x00\x01", self._limit)
+        if idx > self._pos:
+            while idx > self._pos and self._buf[idx - 1] == 0:
+                idx -= 1    # 00 00 00 01 form: keep the zero with the NAL
+            self._limit = max(self._limit, idx)
+
+    def end_of_stream(self) -> None:
+        """No further input: release the trailing NAL for decode."""
+        self.queue_input(b"", final=True)
 
     def decode(self) -> int:
         """Decode one NAL unit (reference decode() one-NAL-per-call
         contract). Returns the decoder status or NO_INPUT."""
-        if self._pos >= len(self._buf):
+        if self._pos >= self._limit:
             return NO_INPUT
-        status, read = self._dec.decode(bytes(self._buf[self._pos:]),
-                                        pic_id=self._n_pics)
+        status, read = self._dec.decode(self._buf, pic_id=self._n_pics,
+                                        offset=self._pos,
+                                        length=self._limit - self._pos)
         self._pos += read
         if status == HDRS_RDY and self.on_headers_ready:
             self.on_headers_ready(self.picture_params())

@@ -111,21 +111,38 @@ def config_multistream(n_streams):
             "aggregate_fps": round(_fps(run), 2)}
 
 
+CONFIGS = {
+    "640x360": lambda a: config_single("640x360"),
+    "1080p": lambda a: config_single("1920x1080"),
+    "1080p_fullRange": lambda a: config_single("1920x1080_fullRange"),
+    "intra720p": lambda a: config_intra_720p(),
+    "gop": lambda a: config_gop(),
+    "multistream": lambda a: config_multistream(a.streams),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=8,
                     help="stream count for the multi-stream config")
+    ap.add_argument("--only", choices=sorted(CONFIGS),
+                    help="run one config in-process (used by the default "
+                         "mode, which forks a fresh interpreter per config "
+                         "— tunneled-TPU throughput degrades measurably "
+                         "over a long-lived process)")
     args = ap.parse_args()
-    results = [
-        config_single("640x360"),
-        config_single("1920x1080"),
-        config_single("1920x1080_fullRange"),
-        config_intra_720p(),
-        config_gop(),
-        config_multistream(args.streams),
-    ]
-    for r in results:
-        print(json.dumps(r))
+    if args.only:
+        print(json.dumps(CONFIGS[args.only](args)), flush=True)
+        return
+    for name in CONFIGS:
+        r = subprocess.run(
+            [sys.executable, __file__, "--only", name,
+             "--streams", str(args.streams)],
+            capture_output=True, text=True, timeout=3600)
+        out = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        print(out[-1] if out else json.dumps(
+            {"config": name, "error": (r.stderr or "no output")[-300:]}),
+            flush=True)
 
 
 if __name__ == "__main__":

@@ -232,6 +232,14 @@ void FrameTensors::reset(u32 w_mbs, u32 h_mbs) {
   nnz_dc.assign(n_mbs * 3, 0);
   ipcm_mb.clear();
   ipcm_data.clear();
+  // reserve the sparse streams at an I-frame-heavy working set so the
+  // first picture never pays vector-growth reallocation
+  sparse_id.reserve(n_mbs * 8);
+  sparse_level.reserve(size_t(n_mbs) * 8 * 16);
+  intra_mbs.reserve(n_mbs);
+  intra_payload.reserve(size_t(n_mbs) * 32);
+  mv_exc_id.reserve(n_mbs / 4);
+  mv_exc_payload.reserve(size_t(n_mbs) * 20);
 }
 
 void FrameTensors::clear_picture() {

@@ -47,7 +47,9 @@ def config_single(name):
             "bit_exact": exact}
 
 
-def config_intra_720p(n_frames=24):
+def config_intra_720p(n_frames=6):
+    # n_frames is modest because the pure-Python bitstream generator is
+    # the slow part (~1.7 Mbit of BitWriter appends per 720p all-I frame)
     from h264bsd_tpu.models.decoder import decode_stream
     from h264bsd_tpu.utils import golden
     from h264bsd_tpu.utils.streamgen import make_intra_stress_stream
@@ -130,9 +132,20 @@ def main():
                          "mode, which forks a fresh interpreter per config "
                          "— tunneled-TPU throughput degrades measurably "
                          "over a long-lived process)")
+    ap.add_argument("--out", type=pathlib.Path,
+                    help="also append each result line to this file "
+                         "(survives an interrupted matrix run)")
     args = ap.parse_args()
+
+    def emit(obj):
+        line = json.dumps(obj)
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
     if args.only:
-        print(json.dumps(CONFIGS[args.only](args)), flush=True)
+        emit(CONFIGS[args.only](args))
         return
     for name in CONFIGS:
         r = subprocess.run(
@@ -140,9 +153,8 @@ def main():
              "--streams", str(args.streams)],
             capture_output=True, text=True, timeout=3600)
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        print(out[-1] if out else json.dumps(
-            {"config": name, "error": (r.stderr or "no output")[-300:]}),
-            flush=True)
+        emit(json.loads(out[-1]) if out else
+             {"config": name, "error": (r.stderr or "no output")[-300:]})
 
 
 if __name__ == "__main__":

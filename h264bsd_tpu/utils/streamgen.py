@@ -73,7 +73,7 @@ def _nal(nal_header: int, payload: BitWriter) -> bytes:
 
 
 def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
-         zero_reorder_vui: bool = False) -> bytes:
+         zero_reorder_vui: bool = False, num_ref_frames: int = 1) -> bytes:
     w = BitWriter()
     w.u(66, 8)          # profile_idc baseline
     w.u(0, 8)           # constraint flags + reserved
@@ -89,7 +89,7 @@ def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
         w.se(0)         # offset_for_top_to_bottom_field
         w.ue(1)         # num_ref_frames_in_pic_order_cnt_cycle
         w.se(2)         # offset_for_ref_frame[0]
-    w.ue(1)             # max_num_ref_frames
+    w.ue(num_ref_frames)  # max_num_ref_frames
     w.u(0, 1)           # gaps_in_frame_num_value_allowed
     w.ue(width_mbs - 1)
     w.ue(height_mbs - 1)
@@ -167,6 +167,19 @@ def _write_level(w: BitWriter, level: int):
         w.u(0, 15).u(1, 1).u(code - 30, 12)   # prefix 15 + 12-bit suffix
 
 
+def _luma_group0_residual(w: BitWriter, dc_level: int):
+    """Residual for luma 8x8 group 0 (cbp 1): block 0 carries the single
+    coefficient `dc_level` (|level| must be >= 2 — a +-1 first level with
+    trailingOnes 0 is not encodable at suffixLength 0), blocks 1-3 empty.
+    nC contexts are 0 for block 0 and 1, 1, 0 for blocks 1-3 whenever
+    every neighbouring macroblock codes this same pattern."""
+    w.u(*_COEFF_TOKEN_TC1_T10_NC02)
+    _write_level(w, dc_level)
+    w.u(*_TOTAL_ZEROS_0_TC1)
+    for _ in range(3):
+        w.u(*_COEFF_TOKEN_TC0_NC02)
+
+
 def _i4_mb(w: BitWriter, dc_level: int):
     """One I_4x4 macroblock: predicted modes everywhere, luma CBP group 0
     coded; block 0 carries a single DC coefficient `dc_level`, blocks
@@ -179,14 +192,28 @@ def _i4_mb(w: BitWriter, dc_level: int):
     # Spec table 9-4 intra column: cbp 1 <-> codeNum 29.
     w.ue(29)
     w.se(0)                                   # mb_qp_delta
+    _luma_group0_residual(w, dc_level)
 
-    # block 0 (nC = 0): one coefficient at scan position 0
-    w.u(*_COEFF_TOKEN_TC1_T10_NC02)
-    _write_level(w, dc_level)
-    w.u(*_TOTAL_ZEROS_0_TC1)
-    # blocks 1-3 (nC contexts 1, 1, 0): TotalCoeff 0
-    for _ in range(3):
-        w.u(*_COEFF_TOKEN_TC0_NC02)
+
+def _p16_mb(w: BitWriter, ref_idx: int, n_active: int,
+            dc_level: int | None = None):
+    """One P_L0_16x16 macroblock with zero MVD (the predicted MV is zero
+    when every macroblock in the picture codes zero MVD) sampling
+    reference list entry `ref_idx`; optionally one luma DC coefficient so
+    frames sourced from different references diverge byte-wise."""
+    w.ue(0)                                   # mb_type P_L0_16x16
+    if n_active == 2:
+        w.u(1 if ref_idx == 0 else 0, 1)      # ref_idx_l0 te(v), inverted bit
+    elif n_active > 2:
+        w.ue(ref_idx)                         # ref_idx_l0 te(v) == ue(v)
+    w.se(0)                                   # mvd_l0 x
+    w.se(0)                                   # mvd_l0 y
+    if dc_level is None:
+        w.ue(0)                               # me(v): codeNum 0 -> inter cbp 0
+    else:
+        w.ue(2)                               # me(v): codeNum 2 -> inter cbp 1
+        w.se(0)                               # mb_qp_delta
+        _luma_group0_residual(w, dc_level)
 
 
 def _plain_i4_mb(w: BitWriter):
@@ -240,7 +267,14 @@ def make_intra_stress_stream(width_mbs: int = 16, height_mbs: int = 9,
 
 
 def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
-                  frame_num: int, idr: bool, poc_type: int, poc_lsb: int):
+                  frame_num: int, idr: bool, poc_type: int, poc_lsb: int,
+                  n_active: int = 1, reorder=(), mmco=(),
+                  lt_flag: bool = False):
+    """Slice header (reference h264bsdDecodeSliceHeader
+    slice_header.c:97). `reorder` holds ref_pic_list_reordering commands
+    [(idc, value), ...] (RefPicListReordering slice_header.c:447);
+    `mmco` holds adaptive dec_ref_pic_marking ops [(op, *args), ...]
+    (DecRefPicMarking slice_header.c:552)."""
     w.ue(first_mb)
     w.ue(slice_type)    # +5 forms: all slices of the picture are this type
     w.ue(0)             # pic_parameter_set_id
@@ -252,14 +286,32 @@ def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
     elif poc_type == 1:
         w.se(0)         # delta_pic_order_cnt[0]
     if slice_type % 5 == 0:  # P
-        w.u(0, 1)       # num_ref_idx_active_override_flag
-        w.u(0, 1)       # ref_pic_list_reordering_flag_l0
+        if n_active != 1:
+            w.u(1, 1)   # num_ref_idx_active_override_flag
+            w.ue(n_active - 1)
+        else:
+            w.u(0, 1)
+        if reorder:
+            w.u(1, 1)   # ref_pic_list_reordering_flag_l0
+            for idc, value in reorder:
+                w.ue(idc)           # 0/1: abs_diff_pic_num_minus1 follows
+                w.ue(value)         # 2: long_term_pic_num follows
+            w.ue(3)                 # end of reordering commands
+        else:
+            w.u(0, 1)
     # dec_ref_pic_marking (nal_ref_idc != 0)
     if idr:
         w.u(0, 1)       # no_output_of_prior_pics_flag
-        w.u(0, 1)       # long_term_reference_flag
+        w.u(1 if lt_flag else 0, 1)  # long_term_reference_flag
+    elif mmco:
+        w.u(1, 1)       # adaptive_ref_pic_marking_mode_flag
+        for op, *args in mmco:
+            w.ue(op)    # memory_management_control_operation 1..6
+            for a in args:
+                w.ue(a)
+        w.ue(0)         # end of MMCO ops
     else:
-        w.u(0, 1)       # adaptive_ref_pic_marking_mode_flag
+        w.u(0, 1)
     w.se(0)             # slice_qp_delta
 
 
@@ -301,6 +353,45 @@ def make_conformance_stream(width_mbs: int = 4, height_mbs: int = 4,
                           (2 * f) % 16)
             w.ue(len(mbs))  # mb_skip_run: the slice group's whole stripe
             out += _nal(0x61, w)
+    return out
+
+
+def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
+                         num_ref_frames: int = 2, qp: int = 26) -> bytes:
+    """Multi-reference / MMCO conformance stream: an IDR followed by P
+    frames whose reference selection, list reordering and marking are
+    driven per frame. Exercises end-to-end what the bundled clips never
+    do: ref_pic_list_reordering (reference h264bsdReorderRefPicList
+    dpb.c:225), adaptive marking MMCO 1-6 (Mmcop1..6 dpb.c:310-595),
+    long-term references, and multi-entry list initialisation
+    (h264bsdInitRefPicList dpb.c:1086).
+
+    `frames` is a list of dicts: {"frame_num": int, "idr": bool,
+    "lt_flag": bool, "ref_idx": int, "n_active": int,
+    "reorder": [(idc, value), ...], "mmco": [(op, *args), ...],
+    "dc": int|None}. Every frame carries a distinct DC residual so a
+    wrong reference pick, list order or marking decision changes the
+    output bytes (oracle: the reference decoder binary)."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2, num_ref_frames=num_ref_frames) + \
+        _pps(qp)
+    for f in frames:
+        w = BitWriter()
+        if f.get("idr"):
+            _slice_header(w, 0, 7, f["frame_num"], True, 2, 0,
+                          lt_flag=f.get("lt_flag", False))
+            for _ in range(n_mbs):
+                _i4_mb(w, f.get("dc", 4))
+        else:
+            n_active = f.get("n_active", 1)
+            _slice_header(w, 0, 5, f["frame_num"], False, 2, 0,
+                          n_active=n_active,
+                          reorder=f.get("reorder", ()),
+                          mmco=f.get("mmco", ()))
+            for _ in range(n_mbs):
+                w.ue(0)  # mb_skip_run
+                _p16_mb(w, f.get("ref_idx", 0), n_active, f.get("dc"))
+        out += _nal(0x65 if f.get("idr") else 0x61, w)
     return out
 
 

@@ -12,7 +12,8 @@ import pytest
 from h264bsd_tpu.models.decoder import decode_stream
 from h264bsd_tpu.utils import golden
 from h264bsd_tpu.utils.streamgen import (make_conformance_stream,
-                                         make_intra_stress_stream)
+                                         make_intra_stress_stream,
+                                         make_multiref_stream)
 
 CASES = {
     "multi_frame": dict(n_frames=4),
@@ -44,6 +45,83 @@ def test_crafted_stream_bit_exact(name, tmp_path):
 
     pics = list(decode_stream(data))
     assert len(pics) == kw["n_frames"]
+    ours = b"".join(np.asarray(plane).tobytes()
+                    for p in pics for plane in p.yuv_planes())
+    assert ours == ref
+
+
+# Multi-reference / MMCO scenarios (reference dpb.c): each P frame carries
+# a distinct DC residual, so a wrong reference pick, list order or marking
+# decision changes the output bytes. Frame dicts per make_multiref_stream.
+MULTIREF_CASES = {
+    # multi-entry list init + explicit ref_idx alternation (InitRefPicList)
+    "two_ref_alternate": dict(num_ref_frames=2, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, n_active=2, ref_idx=1, dc=-3),
+        dict(frame_num=3, n_active=2, ref_idx=0, dc=6),
+        dict(frame_num=4, n_active=2, ref_idx=1, dc=-4),
+    ]),
+    # reordering_of_pic_nums_idc 0 (abs_diff subtract, ReorderRefPicList)
+    "reorder_oldest": dict(num_ref_frames=4, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, dc=-3),
+        dict(frame_num=3, dc=6),
+        dict(frame_num=4, reorder=[(0, 3)], dc=-5),   # picNum 0 (the IDR)
+        dict(frame_num=5, reorder=[(0, 1)], dc=7),    # picNum 3
+    ]),
+    # MMCO 4 (set max long-term idx) + MMCO 3 (short->long conversion),
+    # then referencing the long-term entry by position and by reorder
+    # command idc 2 (long_term_pic_num)
+    "longterm": dict(num_ref_frames=3, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, mmco=[(4, 1), (3, 0, 0)], dc=5),
+        dict(frame_num=2, dc=-3),
+        dict(frame_num=3, n_active=3, ref_idx=2, dc=6),
+        dict(frame_num=4, reorder=[(2, 0)], dc=-6),
+    ]),
+    # MMCO 1: unmark a short-term reference mid-stream
+    "mmco_unmark": dict(num_ref_frames=2, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, mmco=[(1, 0)], dc=-3),      # unmark frame 1
+        dict(frame_num=3, n_active=2, ref_idx=1, dc=7),  # -> the IDR
+    ]),
+    # MMCO 5: reset all references; frame_num restarts after it
+    "mmco5_reset": dict(num_ref_frames=2, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, mmco=[(5,)], dc=-3),
+        dict(frame_num=1, dc=6),                      # post-reset numbering
+        dict(frame_num=2, dc=-5),
+    ]),
+    # IDR long_term_reference_flag: the IDR itself becomes long-term
+    "idr_longterm": dict(num_ref_frames=2, frames=[
+        dict(idr=True, frame_num=0, lt_flag=True, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, n_active=2, ref_idx=1, dc=-4),  # the LT IDR
+    ]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MULTIREF_CASES))
+def test_multiref_mmco_bit_exact(name, tmp_path):
+    kw = MULTIREF_CASES[name]
+    data = make_multiref_stream(**kw)
+    stream = tmp_path / "s.h264"
+    out = tmp_path / "s.yuv"
+    stream.write_bytes(data)
+    subprocess.run([str(golden.reference_binary()), "-o", str(out),
+                    str(stream)], check=True, capture_output=True,
+                   timeout=120)
+    ref = out.read_bytes()
+    frame_size = 4 * 4 * 256 * 3 // 2
+    assert len(ref) == len(kw["frames"]) * frame_size
+
+    pics = list(decode_stream(data))
+    assert len(pics) == len(kw["frames"])
+    assert all(p.num_err_mbs == 0 for p in pics)
     ours = b"".join(np.asarray(plane).tobytes()
                     for p in pics for plane in p.yuv_planes())
     assert ours == ref

@@ -73,7 +73,8 @@ def _nal(nal_header: int, payload: BitWriter) -> bytes:
 
 
 def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
-         zero_reorder_vui: bool = False, num_ref_frames: int = 1) -> bytes:
+         zero_reorder_vui: bool = False, num_ref_frames: int = 1,
+         gaps_allowed: bool = False) -> bytes:
     w = BitWriter()
     w.u(66, 8)          # profile_idc baseline
     w.u(0, 8)           # constraint flags + reserved
@@ -90,7 +91,7 @@ def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
         w.ue(1)         # num_ref_frames_in_pic_order_cnt_cycle
         w.se(2)         # offset_for_ref_frame[0]
     w.ue(num_ref_frames)  # max_num_ref_frames
-    w.u(0, 1)           # gaps_in_frame_num_value_allowed
+    w.u(1 if gaps_allowed else 0, 1)  # gaps_in_frame_num_value_allowed
     w.ue(width_mbs - 1)
     w.ue(height_mbs - 1)
     w.u(1, 1)           # frame_mbs_only_flag
@@ -123,7 +124,8 @@ def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
     return _nal(0x67, w)
 
 
-def _pps(init_qp: int, num_slice_groups: int = 1) -> bytes:
+def _pps(init_qp: int, num_slice_groups: int = 1,
+         redundant_present: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)             # pic_parameter_set_id
     w.ue(0)             # seq_parameter_set_id
@@ -141,7 +143,7 @@ def _pps(init_qp: int, num_slice_groups: int = 1) -> bytes:
     w.se(0)             # chroma_qp_index_offset
     w.u(0, 1)           # deblocking_filter_control_present
     w.u(0, 1)           # constrained_intra_pred
-    w.u(0, 1)           # redundant_pic_cnt_present
+    w.u(1 if redundant_present else 0, 1)  # redundant_pic_cnt_present
     return _nal(0x68, w)
 
 
@@ -269,7 +271,7 @@ def make_intra_stress_stream(width_mbs: int = 16, height_mbs: int = 9,
 def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
                   frame_num: int, idr: bool, poc_type: int, poc_lsb: int,
                   n_active: int = 1, reorder=(), mmco=(),
-                  lt_flag: bool = False):
+                  lt_flag: bool = False, redundant_cnt: int | None = None):
     """Slice header (reference h264bsdDecodeSliceHeader
     slice_header.c:97). `reorder` holds ref_pic_list_reordering commands
     [(idc, value), ...] (RefPicListReordering slice_header.c:447);
@@ -285,6 +287,8 @@ def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
         w.u(poc_lsb, 4)  # pic_order_cnt_lsb (log2 = 4)
     elif poc_type == 1:
         w.se(0)         # delta_pic_order_cnt[0]
+    if redundant_cnt is not None:  # PPS has redundant_pic_cnt_present
+        w.ue(redundant_cnt)
     if slice_type % 5 == 0:  # P
         if n_active != 1:
             w.u(1, 1)   # num_ref_idx_active_override_flag
@@ -357,7 +361,8 @@ def make_conformance_stream(width_mbs: int = 4, height_mbs: int = 4,
 
 
 def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
-                         num_ref_frames: int = 2, qp: int = 26) -> bytes:
+                         num_ref_frames: int = 2, qp: int = 26,
+                         gaps_allowed: bool = False) -> bytes:
     """Multi-reference / MMCO conformance stream: an IDR followed by P
     frames whose reference selection, list reordering and marking are
     driven per frame. Exercises end-to-end what the bundled clips never
@@ -373,8 +378,8 @@ def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
     wrong reference pick, list order or marking decision changes the
     output bytes (oracle: the reference decoder binary)."""
     n_mbs = width_mbs * height_mbs
-    out = _sps(width_mbs, height_mbs, 2, num_ref_frames=num_ref_frames) + \
-        _pps(qp)
+    out = _sps(width_mbs, height_mbs, 2, num_ref_frames=num_ref_frames,
+               gaps_allowed=gaps_allowed) + _pps(qp)
     for f in frames:
         w = BitWriter()
         if f.get("idr"):
@@ -392,6 +397,43 @@ def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
                 w.ue(0)  # mb_skip_run
                 _p16_mb(w, f.get("ref_idx", 0), n_active, f.get("dc"))
         out += _nal(0x65 if f.get("idr") else 0x61, w)
+    return out
+
+
+def make_redundant_stream(lost: bool) -> bytes:
+    """Redundant-slice stream (PPS redundant_pic_cnt_present; reference
+    decoded-counter semantics macroblock_layer.c:988,:1006-1011). The IDR
+    picture is followed by a redundant copy of its first half:
+
+    - lost=False: the primary covers the whole picture; the redundant
+      slice must be skipped (every MB already decoded).
+    - lost=True: the primary slice covering MBs 0-7 is absent (lost in
+      transit, only MBs 8-15 arrive); the redundant slice supplies the
+      missing first half and completes the picture.
+
+    A trailing P frame checks the next access unit resets cleanly."""
+    out = _sps(4, 4, 2) + _pps(26, redundant_present=True)
+    w = BitWriter()
+    if lost:
+        _slice_header(w, 8, 7, 0, True, 2, 0, redundant_cnt=0)
+        for _ in range(8):
+            _i4_mb(w, 4)
+    else:
+        _slice_header(w, 0, 7, 0, True, 2, 0, redundant_cnt=0)
+        for _ in range(16):
+            _i4_mb(w, 4)
+    out += _nal(0x65, w)
+    w = BitWriter()
+    _slice_header(w, 0, 7, 0, True, 2, 0, redundant_cnt=1)
+    for _ in range(8):
+        _i4_mb(w, 4)
+    out += _nal(0x65, w)
+    w = BitWriter()
+    _slice_header(w, 0, 5, 1, False, 2, 0, redundant_cnt=0)
+    for _ in range(16):
+        w.ue(0)  # mb_skip_run
+        _p16_mb(w, 0, 1, 5)
+    out += _nal(0x61, w)
     return out
 
 

@@ -13,7 +13,8 @@ from h264bsd_tpu.models.decoder import decode_stream
 from h264bsd_tpu.utils import golden
 from h264bsd_tpu.utils.streamgen import (make_conformance_stream,
                                          make_intra_stress_stream,
-                                         make_multiref_stream)
+                                         make_multiref_stream,
+                                         make_redundant_stream)
 
 CASES = {
     "multi_frame": dict(n_frames=4),
@@ -102,6 +103,16 @@ MULTIREF_CASES = {
         dict(frame_num=1, dc=5),
         dict(frame_num=2, n_active=2, ref_idx=1, dc=-4),  # the LT IDR
     ]),
+    # gaps_in_frame_num: frame 2 never arrives and is synthesized as a
+    # non-existing reference (h264bsdCheckGapsInFrameNum dpb.c:1218);
+    # every P picks an index pointing at a real frame (referencing a
+    # non-existing frame reads undefined memory in the reference)
+    "frame_num_gap": dict(gaps_allowed=True, num_ref_frames=2, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=3, n_active=2, ref_idx=1, dc=-3),  # list [gap, fn1]
+        dict(frame_num=4, n_active=2, ref_idx=0, dc=6),   # list [fn3, gap]
+    ]),
 }
 
 
@@ -121,6 +132,30 @@ def test_multiref_mmco_bit_exact(name, tmp_path):
 
     pics = list(decode_stream(data))
     assert len(pics) == len(kw["frames"])
+    assert all(p.num_err_mbs == 0 for p in pics)
+    ours = b"".join(np.asarray(plane).tobytes()
+                    for p in pics for plane in p.yuv_planes())
+    assert ours == ref
+
+
+@pytest.mark.parametrize("lost", [False, True],
+                         ids=["primary_kept", "primary_lost"])
+def test_redundant_slices_bit_exact(lost, tmp_path):
+    """Redundant coded slices (decoded-counter semantics,
+    macroblock_layer.c:988,:1006-1011): ignored when the primary decoded,
+    used to fill in MBs whose primary slice was lost."""
+    data = make_redundant_stream(lost=lost)
+    stream = tmp_path / "s.h264"
+    out = tmp_path / "s.yuv"
+    stream.write_bytes(data)
+    subprocess.run([str(golden.reference_binary()), "-o", str(out),
+                    str(stream)], check=True, capture_output=True,
+                   timeout=120)
+    ref = out.read_bytes()
+    assert len(ref) == 2 * (4 * 4 * 256 * 3 // 2)
+
+    pics = list(decode_stream(data))
+    assert len(pics) == 2
     assert all(p.num_err_mbs == 0 for p in pics)
     ours = b"".join(np.asarray(plane).tobytes()
                     for p in pics for plane in p.yuv_planes())

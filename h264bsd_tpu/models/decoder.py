@@ -470,7 +470,7 @@ def _frame_checksum_device(y, cb, cr, n_trunc):
     return (x * w).sum(dtype=jnp.uint32)
 
 
-def benchmark_decode(stream_name: str, repeats: int = 3):
+def benchmark_decode(stream_name: str, repeats: int = 5):
     """Bench helper: decode a bundled stream, return (fps, bit_exact).
 
     Timing mirrors the reference harnesses (win/h264bsdTest.cpp:29-84,

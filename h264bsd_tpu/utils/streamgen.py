@@ -125,7 +125,8 @@ def _sps(width_mbs: int, height_mbs: int, poc_type: int = 2,
 
 
 def _pps(init_qp: int, num_slice_groups: int = 1,
-         redundant_present: bool = False) -> bytes:
+         redundant_present: bool = False, deblock_control: bool = False,
+         constrained_intra: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)             # pic_parameter_set_id
     w.ue(0)             # seq_parameter_set_id
@@ -141,8 +142,8 @@ def _pps(init_qp: int, num_slice_groups: int = 1,
     w.se(init_qp - 26)  # pic_init_qp_minus26
     w.se(0)             # pic_init_qs_minus26
     w.se(0)             # chroma_qp_index_offset
-    w.u(0, 1)           # deblocking_filter_control_present
-    w.u(0, 1)           # constrained_intra_pred
+    w.u(1 if deblock_control else 0, 1)  # deblocking_filter_control_present
+    w.u(1 if constrained_intra else 0, 1)  # constrained_intra_pred
     w.u(1 if redundant_present else 0, 1)  # redundant_pic_cnt_present
     return _nal(0x68, w)
 
@@ -182,7 +183,7 @@ def _luma_group0_residual(w: BitWriter, dc_level: int):
         w.u(*_COEFF_TOKEN_TC0_NC02)
 
 
-def _i4_mb(w: BitWriter, dc_level: int):
+def _i4_mb(w: BitWriter, dc_level: int, qp_delta: int = 0):
     """One I_4x4 macroblock: predicted modes everywhere, luma CBP group 0
     coded; block 0 carries a single DC coefficient `dc_level`, blocks
     1-3 are empty. No chroma residual."""
@@ -193,8 +194,20 @@ def _i4_mb(w: BitWriter, dc_level: int):
     # coded_block_pattern me(v): cbp 1 (luma 8x8 group 0, no chroma).
     # Spec table 9-4 intra column: cbp 1 <-> codeNum 29.
     w.ue(29)
-    w.se(0)                                   # mb_qp_delta
+    w.se(qp_delta)                            # mb_qp_delta
     _luma_group0_residual(w, dc_level)
+
+
+def _i4_in_p_mb(w: BitWriter):
+    """One intra macroblock inside a P slice (mb_type 5 -> I_4x4; the
+    reference adds 1 to P-slice mb_type values, macroblock_layer.c:158-169
+    — 5 is the first intra type). DC-predicted, no residual, so its
+    encoding is independent of neighbour CAVLC contexts."""
+    w.ue(5)                                   # mb_type I_4x4 in P slice
+    for _ in range(16):
+        w.u(1, 1)                             # prev_intra4x4_pred_mode_flag
+    w.ue(0)                                   # intra_chroma_pred_mode DC
+    w.ue(3)                                   # me(v): codeNum 3 -> intra cbp 0
 
 
 def _p16_mb(w: BitWriter, ref_idx: int, n_active: int,
@@ -216,6 +229,21 @@ def _p16_mb(w: BitWriter, ref_idx: int, n_active: int,
         w.ue(2)                               # me(v): codeNum 2 -> inter cbp 1
         w.se(0)                               # mb_qp_delta
         _luma_group0_residual(w, dc_level)
+
+
+def _pcm_mb(w: BitWriter, seed: int):
+    """One I_PCM macroblock (mb_type 25 in an I slice -> kMbIpcm,
+    reference macroblock_layer.c:171-190): alignment zero bits then 384
+    raw samples. The raw bytes intentionally include 00 00 0x runs so the
+    emulation-prevention insert/strip path is exercised inside PCM data."""
+    w.ue(25)                                  # mb_type I_PCM
+    while len(w.bits) % 8:
+        w.u(0, 1)                             # pcm_alignment_zero_bit
+    for i in range(384):
+        v = (seed * 31 + i * 7) % 256
+        if i % 16 < 3:
+            v = 0 if i % 16 < 2 else i % 4    # craft 00 00 0x sequences
+        w.u(v, 8)
 
 
 def _plain_i4_mb(w: BitWriter):
@@ -271,7 +299,8 @@ def make_intra_stress_stream(width_mbs: int = 16, height_mbs: int = 9,
 def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
                   frame_num: int, idr: bool, poc_type: int, poc_lsb: int,
                   n_active: int = 1, reorder=(), mmco=(),
-                  lt_flag: bool = False, redundant_cnt: int | None = None):
+                  lt_flag: bool = False, redundant_cnt: int | None = None,
+                  deblock: tuple | None = None, qp_delta: int = 0):
     """Slice header (reference h264bsdDecodeSliceHeader
     slice_header.c:97). `reorder` holds ref_pic_list_reordering commands
     [(idc, value), ...] (RefPicListReordering slice_header.c:447);
@@ -316,7 +345,13 @@ def _slice_header(w: BitWriter, first_mb: int, slice_type: int,
         w.ue(0)         # end of MMCO ops
     else:
         w.u(0, 1)
-    w.se(0)             # slice_qp_delta
+    w.se(qp_delta)      # slice_qp_delta
+    if deblock is not None:  # PPS has deblocking_filter_control_present
+        idc, alpha_off, beta_off = deblock
+        w.ue(idc)       # disable_deblocking_filter_idc
+        if idc != 1:
+            w.se(alpha_off // 2)  # slice_alpha_c0_offset_div2
+            w.se(beta_off // 2)   # slice_beta_offset_div2
 
 
 def make_conformance_stream(width_mbs: int = 4, height_mbs: int = 4,
@@ -397,6 +432,106 @@ def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
                 w.ue(0)  # mb_skip_run
                 _p16_mb(w, f.get("ref_idx", 0), n_active, f.get("dc"))
         out += _nal(0x65 if f.get("idr") else 0x61, w)
+    return out
+
+
+def make_pcm_stream(width_mbs: int = 4, height_mbs: int = 2) -> bytes:
+    """IDR with I_PCM macroblocks on a checkerboard (plain DC-predicted
+    I_4x4 elsewhere — no residual, so PCM neighbours' nC never enters a
+    coded block's CAVLC context) followed by a P frame sampling the mixed
+    picture. Exercises raw-sample passthrough, intra prediction from PCM
+    neighbour pels, deblocking at PCM boundaries (PCM counts as intra,
+    qpY 0), and motion compensation over PCM content."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2) + _pps(26)
+    w = BitWriter()
+    _slice_header(w, 0, 7, 0, True, 2, 0)
+    for i in range(n_mbs):
+        r, c = divmod(i, width_mbs)
+        if (r + c) % 2:
+            _pcm_mb(w, seed=i)
+        else:
+            _plain_i4_mb(w)
+    out += _nal(0x65, w)
+    w = BitWriter()
+    _slice_header(w, 0, 5, 1, False, 2, 0)
+    for _ in range(n_mbs):
+        w.ue(0)  # mb_skip_run
+        _p16_mb(w, 0, 1, 5)
+    out += _nal(0x61, w)
+    return out
+
+
+def make_qp_sweep_stream(width_mbs: int = 4, height_mbs: int = 4,
+                         n_frames: int = 2) -> bytes:
+    """Per-MB mb_qp_delta sweep including the mod-52 wraparound
+    (reference slice QP accumulation h264bsd_slice_data.c:211-217 via
+    macroblock_layer qp update): QP walks +21/-17 alternately from 26 so
+    it crosses both 51 and 0. QP changes also drive the deblocking
+    threshold averaging across every MB edge."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2) + _pps(26)
+    for f in range(n_frames):
+        w = BitWriter()
+        _slice_header(w, 0, 7, f % 16, f == 0, 2, 0)
+        for i in range(n_mbs):
+            _i4_mb(w, 3 + (i % 5), qp_delta=21 if i % 2 == 0 else -17)
+        out += _nal(0x65 if f == 0 else 0x61, w)
+    return out
+
+
+def make_deblock_control_stream(idcs=(0, 1, 2)) -> bytes:
+    """Slice-level deblocking control (PPS deblocking_filter_control
+    present): a three-slice picture whose slices use
+    disable_deblocking_filter_idc 0 (filter all), 1 (off), and 2 (skip
+    slice boundaries, GetMbFilteringFlags deblocking.c:280) with nonzero
+    alpha/beta offsets, followed by a P frame with its own controls."""
+    width_mbs, height_mbs = 4, 6
+    rows_per_slice = height_mbs // len(idcs)
+    out = _sps(width_mbs, height_mbs, 2) + _pps(26, deblock_control=True)
+    w = None
+    for s, idc in enumerate(idcs):
+        w = BitWriter()
+        first_mb = s * rows_per_slice * width_mbs
+        _slice_header(w, first_mb, 7, 0, True, 2, 0,
+                      deblock=(idc, 4 if idc != 1 else 0,
+                               -4 if idc != 1 else 0))
+        for i in range(rows_per_slice * width_mbs):
+            _i4_mb(w, 3 + (first_mb + i) % 7)
+        out += _nal(0x65, w)
+    w = BitWriter()
+    _slice_header(w, 0, 5, 1, False, 2, 0, deblock=(0, -2, 2))
+    for _ in range(width_mbs * height_mbs):
+        w.ue(0)  # mb_skip_run
+        _p16_mb(w, 0, 1, 5)
+    out += _nal(0x61, w)
+    return out
+
+
+def make_intra_in_p_stream(constrained: bool) -> bytes:
+    """P frames containing intra macroblocks, with and without PPS
+    constrained_intra_pred (which makes inter neighbour pels unavailable
+    to intra prediction, reference h264bsdIntra4x4Prediction
+    intra_prediction.c:731-767)."""
+    width_mbs, height_mbs = 4, 4
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2) + \
+        _pps(26, constrained_intra=constrained)
+    w = BitWriter()
+    _slice_header(w, 0, 7, 0, True, 2, 0)
+    for i in range(n_mbs):
+        _i4_mb(w, 3 + i % 5)
+    out += _nal(0x65, w)
+    for f in (1, 2):
+        w = BitWriter()
+        _slice_header(w, 0, 5, f, False, 2, 0)
+        for i in range(n_mbs):
+            w.ue(0)  # mb_skip_run
+            if (i + f) % 3 == 0:
+                _i4_in_p_mb(w)
+            else:
+                _p16_mb(w, 0, 1, 4 + (i % 3))
+        out += _nal(0x61, w)
     return out
 
 

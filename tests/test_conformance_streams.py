@@ -12,8 +12,12 @@ import pytest
 from h264bsd_tpu.models.decoder import decode_stream
 from h264bsd_tpu.utils import golden
 from h264bsd_tpu.utils.streamgen import (make_conformance_stream,
+                                         make_deblock_control_stream,
+                                         make_intra_in_p_stream,
                                          make_intra_stress_stream,
                                          make_multiref_stream,
+                                         make_pcm_stream,
+                                         make_qp_sweep_stream,
                                          make_redundant_stream)
 
 CASES = {
@@ -162,6 +166,65 @@ def test_redundant_slices_bit_exact(lost, tmp_path):
     assert ours == ref
 
 
+def test_ipcm_bit_exact(tmp_path):
+    """I_PCM macroblocks (raw-sample passthrough, reference
+    macroblock_layer.c:171-190) on a checkerboard with DC-predicted
+    neighbours, plus a P frame sampling the mixed picture — covers PCM
+    neighbour pels in intra prediction, PCM boundaries in deblocking
+    (intra bS, qpY 0), and EPB sequences inside PCM payloads."""
+    data = make_pcm_stream()
+    stream = tmp_path / "s.h264"
+    out = tmp_path / "s.yuv"
+    stream.write_bytes(data)
+    subprocess.run([str(golden.reference_binary()), "-o", str(out),
+                    str(stream)], check=True, capture_output=True,
+                   timeout=120)
+    ref = out.read_bytes()
+    assert len(ref) == 2 * (4 * 2 * 256 * 3 // 2)
+
+    pics = list(decode_stream(data))
+    assert len(pics) == 2
+    assert all(p.num_err_mbs == 0 for p in pics)
+    ours = b"".join(np.asarray(plane).tobytes()
+                    for p in pics for plane in p.yuv_planes())
+    assert ours == ref
+
+
+FEATURE_STREAMS = {
+    # per-MB mb_qp_delta sweep incl. mod-52 wraparound; QP-varying
+    # deblock thresholds
+    "qp_sweep": (make_qp_sweep_stream, (), 2, (4, 4)),
+    # slice-level deblock control: idc 0/1/2 slices with alpha/beta
+    # offsets, P frame with its own controls
+    "deblock_control": (make_deblock_control_stream, (), 2, (4, 6)),
+    # intra MBs inside P slices
+    "intra_in_p": (make_intra_in_p_stream, (False,), 3, (4, 4)),
+    # same with PPS constrained_intra_pred (inter neighbours unavailable)
+    "intra_in_p_constrained": (make_intra_in_p_stream, (True,), 3, (4, 4)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FEATURE_STREAMS))
+def test_feature_stream_bit_exact(name, tmp_path):
+    maker, args, n_frames, (w_mbs, h_mbs) = FEATURE_STREAMS[name]
+    data = maker(*args)
+    stream = tmp_path / "s.h264"
+    out = tmp_path / "s.yuv"
+    stream.write_bytes(data)
+    subprocess.run([str(golden.reference_binary()), "-o", str(out),
+                    str(stream)], check=True, capture_output=True,
+                   timeout=120)
+    ref = out.read_bytes()
+    assert len(ref) == n_frames * (w_mbs * h_mbs * 256 * 3 // 2)
+
+    pics = list(decode_stream(data))
+    assert len(pics) == n_frames
+    assert all(p.num_err_mbs == 0 for p in pics)
+    ours = b"".join(np.asarray(plane).tobytes()
+                    for p in pics for plane in p.yuv_planes())
+    assert ours == ref
+
+
 def test_flush_buffer_drains_pending_pictures():
     """h264bsdFlushBuffer equivalent: a reordered (POC type 0) stream
     without the zero-reorder VUI holds every picture in the DPB; flush
@@ -199,6 +262,10 @@ def test_flush_buffer_drains_pending_pictures():
 @pytest.mark.parametrize("kw", [
     dict(width_mbs=16, height_mbs=9, n_frames=3),
     dict(width_mbs=6, height_mbs=4, n_frames=2, qp=12),
+    dict(width_mbs=4, height_mbs=4, n_frames=2, qp=0),   # dequant floor
+    # 48 is the highest QP where the stress levels (up to 10) keep the
+    # IDCT inside [-512,511]; at 51 the reference itself rejects the slice
+    dict(width_mbs=4, height_mbs=4, n_frames=2, qp=48),
 ])
 def test_intra_stress_bit_exact(kw, tmp_path):
     """All-I stream with explicit varied intra modes + residual in every

@@ -78,3 +78,27 @@ def test_corrupt_idr_slice_parity(offset):
             raise AssertionError(
                 f"frame {i}: {np.count_nonzero(d)} differing bytes, "
                 f"max |diff| {np.abs(d).max()}")
+
+
+def test_out_of_range_residual_parity():
+    """QP 51 with the stress generator's levels drives the IDCT outside
+    [-512,511]; the reference rejects the slice (transform.c:183-188
+    HANTRO_NOK -> h264bsdMarkSliceCorrupted) and conceals. The rebuild's
+    host-side range validation plus concealment must match byte-exactly."""
+    from h264bsd_tpu.utils.streamgen import make_intra_stress_stream
+
+    data = make_intra_stress_stream(width_mbs=4, height_mbs=4, n_frames=2,
+                                    qp=51)
+    binary = resilient_binary()
+    inp = WORK / "overrange.h264"
+    out = WORK / "overrange.yuv"
+    inp.write_bytes(data)
+    subprocess.run([str(binary), str(inp), str(out)], check=True,
+                   capture_output=True)
+    frame = 4 * 4 * 256 * 3 // 2
+    blob = out.read_bytes()
+    ref = [blob[i:i + frame] for i in range(0, len(blob), frame)]
+
+    ours = [pic.yuv_bytes()[:frame] for pic in decode_stream(data)]
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    assert all(a == b for a, b in zip(ours, ref))

@@ -17,6 +17,11 @@ namespace {
 struct CavlcLuts {
   // 5 nC classes: 0 (nC<2), 1 (2<=nC<4), 2 (4<=nC<8), 3 (nC>=8), 4 (nC==-1)
   std::array<std::array<u16, 1 << 16>, 5> coeff_token;
+  // first-level 10-bit table (2KB/class, cache-resident): short codes
+  // resolve here; 0xFFFF defers to the full 16-bit table. The flat 64K
+  // tables replicate a short code over up to 2^12 consecutive entries,
+  // so random lookups into them miss cache on nearly every call.
+  std::array<std::array<u16, 1 << 10>, 5> ct_l1;
   // total_zeros: [tc-1][9 bits] for luma, [tc-1][9 bits] chroma DC
   std::array<std::array<u8, 1 << 9>, 15> total_zeros_luma;
   std::array<std::array<u8, 1 << 9>, 3> total_zeros_chroma;
@@ -41,6 +46,30 @@ struct CavlcLuts {
     fill_ct(coeff_token[2], kCoeffToken4, std::size(kCoeffToken4));
     fill_ct(coeff_token[3], kCoeffToken8, std::size(kCoeffToken8));
     fill_ct(coeff_token[4], kCoeffTokenM1, std::size(kCoeffTokenM1));
+
+    auto fill_l1 = [&](std::array<u16, 1 << 10>& lut,
+                       const CoeffTokenCode* codes, size_t n) {
+      lut.fill(0);
+      for (size_t i = 0; i < n; ++i) {
+        const auto& c = codes[i];
+        if (c.len > 10) continue;
+        u32 base = u32(c.code) << (10 - c.len);
+        u32 count = 1u << (10 - c.len);
+        u16 packed = u16((u32(c.total_coeff) << 11) |
+                         (u32(c.trailing_ones) << 5) | c.len);
+        for (u32 b = 0; b < count; ++b) lut[base + b] = packed;
+      }
+      for (size_t i = 0; i < n; ++i) {  // long codes: defer by 10-bit prefix
+        const auto& c = codes[i];
+        if (c.len <= 10) continue;
+        lut[u32(c.code) >> (c.len - 10)] = 0xFFFF;
+      }
+    };
+    fill_l1(ct_l1[0], kCoeffToken0, std::size(kCoeffToken0));
+    fill_l1(ct_l1[1], kCoeffToken2, std::size(kCoeffToken2));
+    fill_l1(ct_l1[2], kCoeffToken4, std::size(kCoeffToken4));
+    fill_l1(ct_l1[3], kCoeffToken8, std::size(kCoeffToken8));
+    fill_l1(ct_l1[4], kCoeffTokenM1, std::size(kCoeffTokenM1));
 
     auto fill_short = [&](u8* lut, u32 lut_bits, const ShortCode* codes,
                           size_t n) {
@@ -157,7 +186,9 @@ Status decode_residual_block(BitReader& br, i32 nc, u32 max_num_coeff,
 
   u32 bits = 0;
   if (!cache.show(16, &bits)) return Status::kError;
-  u32 token = t.coeff_token[nc_class(nc)][bits];
+  u32 cls = nc_class(nc);
+  u32 token = t.ct_l1[cls][bits >> 6];
+  if (__builtin_expect(token == 0xFFFF, 0)) token = t.coeff_token[cls][bits];
   if (!token) return Status::kError;
   cache.drop(token & 0x1F);
 

@@ -25,9 +25,22 @@ def measure_reference_fps(stream: str, frames: int) -> float:
     return frames / best
 
 
+def warm_up_transfer() -> None:
+    """Open the device->host transfer path before any heavy traffic.
+
+    The first D2H read on the tunneled TPU transport takes 1-3 minutes
+    (handshake), and grows unboundedly if bulk uploads are queued first.
+    Paying it up front, on an empty device, keeps every later read fast.
+    """
+    import jax.numpy as jnp
+
+    int(jnp.uint32(1) + jnp.uint32(2))
+
+
 def main() -> None:
     stream = "1920x1080"
     n_frames = 73
+    warm_up_transfer()
     ref_fps = measure_reference_fps(stream, n_frames)
 
     try:

@@ -32,14 +32,13 @@ ERROR = fe.ERROR
 PARAM_SET_ERROR = fe.PARAM_SET_ERROR
 
 
-@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps"))
-def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
-                 conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
-                 caps, intra_wavefront=False):
+def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
+                       slot, conceal_from_ref, conceal_ref_slot, width_mbs,
+                       height_mbs, caps, intra_wavefront):
     """One full frame on device: unpack, reconstruct, conceal, deblock,
     store. ONE host->device buffer per frame (tier-padded blob built by the
-    C++ front-end) instead of ~19 dense tensors."""
+    C++ front-end) instead of ~19 dense tensors. Traced both standalone
+    (_decode_step) and as a lax.scan body (_decode_window_step)."""
     from ..ops.unpack import unpack_blob
     n_mbs = width_mbs * height_mbs
     (packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
@@ -87,6 +86,43 @@ def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
     dpb_y = dpb_y.at[slot].set(y)
     dpb_cb = dpb_cb.at[slot].set(cb)
     dpb_cr = dpb_cr.at[slot].set(cr)
+    return dpb_y, dpb_cb, dpb_cr
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
+                                   "intra_wavefront", "caps"))
+def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
+                 conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
+                 caps, intra_wavefront=False):
+    return _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb,
+                              pcm_cr, slot, conceal_from_ref,
+                              conceal_ref_slot, width_mbs, height_mbs, caps,
+                              intra_wavefront)
+
+
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
+                                   "intra_wavefront", "caps"))
+def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
+                        slots, conceal_from_ref, conceal_ref_slot,
+                        width_mbs, height_mbs, caps, intra_wavefront=False):
+    """K frames in ONE dispatch: lax.scan of the per-frame body over
+    stacked blobs, threading the DPB ring as carry. Amortizes the
+    per-dispatch tunnel round trip (the steady-state limiter of the
+    per-frame path) across the window; frame k reads references written
+    by frame k-1 directly from the carried ring, with zero host
+    involvement between frames."""
+
+    def body(carry, per_frame):
+        dy, dcb, dcr = carry
+        blob, slot, cfr, crs = per_frame
+        dy, dcb, dcr = _frame_decode_body(
+            blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
+            width_mbs, height_mbs, caps, intra_wavefront)
+        return (dy, dcb, dcr), None
+
+    (dpb_y, dpb_cb, dpb_cr), _ = jax.lax.scan(
+        body, (dpb_y, dpb_cb, dpb_cr),
+        (blobs, slots, conceal_from_ref, conceal_ref_slot))
     return dpb_y, dpb_cb, dpb_cr
 
 
@@ -326,6 +362,54 @@ class Decoder:
                 jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
                 prep["h_mbs"], prep["caps"], prep["wavefront"])
 
+    def _windowable(self, prep) -> bool:
+        """True when the frame can join a scanned multi-frame dispatch:
+        the fast path of _submit with nothing frame-individual (no I_PCM
+        tensors, no exact spiral concealment, no non-existing-frame slot
+        zeroing)."""
+        info = prep["info"]
+        n_conc = info["num_concealed_mbs"]
+        partial_loss = 0 < n_conc < prep["n_mbs"]
+        needs_exact = partial_loss and (
+            not info["conceal_from_ref"] or info["conceal_ref_slot"] < 0)
+        return (not needs_exact and not prep["non_existing"]
+                and not len(prep["ipcm"][0]))
+
+    def _submit_window(self, preps):
+        """Dispatch a window of compatible frames as one scanned step.
+        Caller guarantees every prep is _windowable, shares (caps,
+        wavefront, n_mbs), and that no frame overwrites a DPB slot a
+        pending output in the window still references.
+
+        Dispatch sizes are quantized to powers of two (8/4/2/1 chunks)
+        so each (caps, wavefront) tier compiles at most three scan
+        variants instead of one per window length."""
+        while len(preps) > 1:
+            k = next(k for k in (8, 4, 2) if k <= len(preps))
+            self._submit_window_exact(preps[:k])
+            preps = preps[k:]
+        if preps:
+            self._submit(preps[0])
+
+    def _submit_window_exact(self, preps):
+        self._ensure_dpb()
+        n_mbs = preps[0]["n_mbs"]
+        if self._zero_pcm is None or self._zero_pcm[0].shape[0] != n_mbs:
+            self._zero_pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
+                              jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+                              jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+        blobs = np.stack([p["blob"] for p in preps])
+        slots = np.array([p["info"]["slot"] for p in preps], np.int32)
+        cfr = np.array([bool(p["info"]["conceal_from_ref"]) for p in preps])
+        crs = np.array([p["info"]["conceal_ref_slot"] for p in preps],
+                       np.int32)
+        y, cb, cr = self._dpb
+        self._dpb = _decode_window_step(
+            jnp.asarray(blobs), y, cb, cr, *self._zero_pcm,
+            jnp.asarray(slots), jnp.asarray(cfr), jnp.asarray(crs),
+            preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
+            preps[0]["wavefront"])
+
     # -- output ------------------------------------------------------------
 
     def next_output_picture(self):
@@ -440,17 +524,78 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     n_out = 0
-    while (item := q.get()) is not None:
-        if item[0] == "reset":
-            dec._dpb = None
-            continue
-        prep, outs = item
-        dec._submit(prep)
-        for o in outs:
-            yield dec._make_output(o)
-            n_out += 1
-            if max_pictures is not None and n_out >= max_pictures:
-                return
+
+    # Consecutive compatible frames are grouped into a scanned window
+    # (one device dispatch for up to WINDOW frames). Grouping is greedy
+    # over whatever the parse thread has already queued, so it never adds
+    # latency when the device is the slower side. Output pictures are
+    # yielded only after their window is dispatched; a window is cut
+    # early if a frame would overwrite a DPB slot that a pending output
+    # of this window still references (the post-window ring snapshot
+    # must stay valid for every yielded picture).
+    import os
+    WINDOW = int(os.environ.get("H264TPU_WINDOW", "1"))
+    window: list = []          # [(prep, outs)]
+    out_slots: set = set()     # slots referenced by pending outputs
+
+    def compatible(prep):
+        if not window:
+            return True
+        head = window[0][0]
+        return (prep["caps"] == head["caps"]
+                and prep["wavefront"] == head["wavefront"]
+                and prep["n_mbs"] == head["n_mbs"]
+                and prep["info"]["slot"] not in out_slots)
+
+    def flush():
+        if not window:
+            return []
+        dec._submit_window([w[0] for w in window])
+        outs = [o for _, os_ in window for o in os_]
+        window.clear()
+        out_slots.clear()
+        return outs
+
+    done = False
+    while not done:
+        item = q.get()
+        while True:
+            if item is None:
+                done = True
+                ready = flush()
+            elif item[0] == "reset":
+                ready = flush()
+                dec._dpb = None
+            else:
+                prep, outs = item
+                if not dec._windowable(prep):
+                    ready = flush()
+                    dec._submit(prep)
+                    ready += outs
+                else:
+                    ready = flush() if not compatible(prep) else []
+                    window.append((prep, outs))
+                    out_slots.update(o["slot"] for o in outs)
+                    if len(window) >= WINDOW:
+                        ready += flush()
+            for o in ready:
+                yield dec._make_output(o)
+                n_out += 1
+                if max_pictures is not None and n_out >= max_pictures:
+                    return
+            if done:
+                break
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                # nothing parsed ahead: dispatch what we have rather
+                # than idle the device waiting for a fuller window
+                for o in flush():
+                    yield dec._make_output(o)
+                    n_out += 1
+                    if max_pictures is not None and n_out >= max_pictures:
+                        return
+                break
 
 
 def frame_checksum_host(frame_bytes: bytes) -> int:
@@ -485,6 +630,22 @@ def benchmark_decode(stream_name: str, repeats: int = 5):
     goldens = golden.golden_frames(stream_name)
     n_trunc = len(goldens[0])
 
+    # Verification pass FIRST (untimed): device checksums vs golden
+    # checksums, stacked on device and fetched in ONE transfer. Ordering
+    # and batching are both load-bearing on the tunneled-TPU transport:
+    # a device->host read issued after hundreds of MB of uploads (the
+    # timed passes) can stall for many minutes, and per-frame scalar
+    # int() reads multiply that 73x. One small read on a quiet link,
+    # before the timed traffic, completes in milliseconds. The pass also
+    # absorbs every jit compile, so the timed passes below are all warm.
+    sums = []
+    for pic in decode_stream(data):
+        sums.append(_frame_checksum_device(*pic.yuv_planes(),
+                                           n_trunc=n_trunc))
+    got = [int(s) for s in np.asarray(jnp.stack(sums))]
+    want = [frame_checksum_host(g) for g in goldens]
+    bit_exact = len(got) == len(want) and got == want
+
     best = float("inf")
     n = 0
     for _ in range(repeats):
@@ -496,13 +657,4 @@ def benchmark_decode(stream_name: str, repeats: int = 5):
             n += 1
         jax.block_until_ready(last.yuv_planes())
         best = min(best, time.perf_counter() - t0)
-
-    # verification pass (untimed): device checksums vs golden checksums
-    sums = []
-    for pic in decode_stream(data):
-        sums.append(_frame_checksum_device(*pic.yuv_planes(),
-                                           n_trunc=n_trunc))
-    got = [int(s) for s in sums]
-    want = [frame_checksum_host(g) for g in goldens]
-    bit_exact = len(got) == len(want) and got == want
     return n / best, bit_exact

@@ -66,6 +66,12 @@ def _configure(L: ct.CDLL) -> None:
         ct.c_char_p, ct.c_uint32, ct.c_int32, ct.c_uint32,
         np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
     ]
+    L.h264tpu_take_sei.restype = ct.c_void_p
+    L.h264tpu_take_sei.argtypes = [ct.c_void_p, ct.POINTER(ct.c_uint64)]
+    L.h264tpu_sps_hrd.restype = ct.c_uint32
+    L.h264tpu_sps_hrd.argtypes = [
+        ct.c_void_p, ct.c_uint32,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
     L.h264tpu_dev_parse_sps.restype = ct.c_uint32
     L.h264tpu_dev_parse_sps.argtypes = [
         ct.c_char_p, ct.c_uint32,

@@ -162,6 +162,50 @@ u32 h264tpu_take_non_existing(void* inst, i32* out, u32 max_count) {
   return n;
 }
 
+// Oldest captured SEI RBSP payload; nullptr when none pending. The pointer
+// stays valid until the next call into the instance.
+const void* h264tpu_take_sei(void* inst, u64* size_bytes) {
+  const std::vector<u8>* sei = static_cast<Decoder*>(inst)->take_sei();
+  if (sei == nullptr) {
+    *size_bytes = 0;
+    return nullptr;
+  }
+  *size_bytes = sei->size();
+  return sei->data();
+}
+
+// HRD/pic-timing fields of SPS `sps_id`, needed to decode buffering-period
+// and pic-timing SEI messages (the reference's dead-code SEI parser reads
+// them from the named SPS, h264bsd_sei.c:396-677). Returns 0 if that SPS
+// was never stored. Removal-delay/offset lengths follow the NAL HRD when
+// present, else the VCL HRD, else the spec defaults already in HrdParams.
+u32 h264tpu_sps_hrd(void* inst, u32 sps_id, u32* out16) {
+  const Sps* sps = static_cast<Decoder*>(inst)->sps_by_id(sps_id);
+  if (sps == nullptr) return 0;
+  for (u32 i = 0; i < 16; ++i) out16[i] = 0;
+  if (!sps->vui_present || !sps->vui.has_value()) return 1;
+  const VuiParams& v = *sps->vui;
+  const HrdParams* hrd = v.nal_hrd_present   ? &v.nal_hrd
+                         : v.vcl_hrd_present ? &v.vcl_hrd
+                                             : nullptr;
+  out16[0] = 1;  // vui_present
+  out16[1] = v.nal_hrd_present ? 1 : 0;
+  out16[2] = v.vcl_hrd_present ? 1 : 0;
+  out16[3] = v.nal_hrd_present ? v.nal_hrd.cpb_cnt : 0;
+  out16[4] = v.vcl_hrd_present ? v.vcl_hrd.cpb_cnt : 0;
+  out16[5] = v.nal_hrd_present ? v.nal_hrd.initial_cpb_removal_delay_length : 0;
+  out16[6] = v.vcl_hrd_present ? v.vcl_hrd.initial_cpb_removal_delay_length : 0;
+  out16[7] = hrd ? hrd->cpb_removal_delay_length : 24;
+  out16[8] = hrd ? hrd->dpb_output_delay_length : 24;
+  out16[9] = hrd ? hrd->time_offset_length : 24;
+  out16[10] = v.pic_struct_present ? 1 : 0;
+  out16[11] = v.timing_info_present ? 1 : 0;
+  out16[12] = v.num_units_in_tick;
+  out16[13] = v.time_scale;
+  out16[14] = v.low_delay_hrd ? 1 : 0;
+  return 1;
+}
+
 // ---- dev/test surface ----
 
 u32 h264tpu_dev_coeff_token(u32 bits16, i32 nc) {

@@ -76,6 +76,11 @@ enum MbType : u32 {
 inline bool mb_is_intra(u32 t) { return t > kP8x8ref0; }
 inline bool mb_is_i16(u32 t) { return t >= kI16x16Base && t < kIPcm; }
 
+// Device-side mb_class of a concealed MB (renders nothing; deblock treats
+// it as intra with qp 40 and zero filter offsets, ConcealMb
+// conceal.c:384-392).
+constexpr u8 kMbConcealed = 6;
+
 // Chroma QP mapping table, spec Table 8-15 (reference h264bsd_util.c:53-55).
 constexpr u8 kQpC[52] = {
     0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17,

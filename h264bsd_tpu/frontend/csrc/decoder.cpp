@@ -10,11 +10,6 @@
 
 namespace h264tpu {
 
-namespace {
-// MB classes treated as intra by deblocking after concealment.
-constexpr u8 kMbConcealed = 6;  // device renders nothing; deblock sees intra
-}  // namespace
-
 Status Decoder::check_pps_vs_sps(const Pps& pps, const Sps& sps) const {
   // reference CheckPps storage.c:772-825
   u32 pic_size = sps.pic_width_in_mbs * sps.pic_height_in_mbs;
@@ -470,7 +465,17 @@ u32 Decoder::decode_inner(const u8* data, u32 len, u32 pic_id,
       }
 
       case kNalSei:
-        break;  // SEI not decoded (reference decoder.c:464-466)
+        // The reference logs "SEI MESSAGE, NOT DECODED" and skips the NAL
+        // (decoder.c:464-466; its h264bsd_sei.c parser is dead code).
+        // Queue the RBSP payload so frontend/sei.py can decode the
+        // messages without perturbing the decode state machine.
+        if (saved_rbsp_.size() > 1) {
+          if (sei_queue_.size() >= 64)
+            sei_queue_.erase(sei_queue_.begin());
+          sei_queue_.emplace_back(saved_rbsp_.begin() + 1,
+                                  saved_rbsp_.end());
+        }
+        break;
 
       default:
         break;

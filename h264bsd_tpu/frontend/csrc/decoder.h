@@ -95,6 +95,25 @@ class Decoder {
   // the display-order output queue
   void flush_buffer() { dpb_.flush(); }
 
+  // Oldest captured SEI RBSP payload (EPB-stripped, NAL header removed),
+  // or nullptr when none is pending; the pointer stays valid until the
+  // next take_sei()/decode() call. The reference ships a full SEI parser
+  // as dead code (h264bsd_sei.c; decoder.c:464-466 skips the NAL) — the
+  // rebuild queues the payload here and decodes the messages host-side
+  // (frontend/sei.py).
+  const std::vector<u8>* take_sei() {
+    if (sei_queue_.empty()) return nullptr;
+    sei_out_ = std::move(sei_queue_.front());
+    sei_queue_.erase(sei_queue_.begin());
+    return &sei_out_;
+  }
+
+  // SPS registry lookup (buffering-period SEI names its SPS by id,
+  // reference h264bsd_sei.c:396-473).
+  const Sps* sps_by_id(u32 id) const {
+    return id < sps_.size() ? sps_[id].get() : nullptr;
+  }
+
  private:
   u32 decode_inner(const u8* data, u32 len, u32 pic_id, u32* read_bytes);
   Status check_access_unit_boundary(const BitReader& br, const NalUnit& nal,
@@ -137,6 +156,11 @@ class Decoder {
   const u8* prev_buf_pointer_ = nullptr;
   u32 prev_bytes_consumed_ = 0;
   std::vector<u8> saved_rbsp_;
+
+  // captured SEI payloads awaiting host-side message decode; bounded so an
+  // app that never drains them cannot grow memory without limit
+  std::vector<std::vector<u8>> sei_queue_;
+  std::vector<u8> sei_out_;
 
   NalExtractor extractor_;
   MbParser parser_;

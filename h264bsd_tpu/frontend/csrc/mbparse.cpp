@@ -273,17 +273,33 @@ void FrameTensors::build_packed() {
   intra_mbs.clear();
   intra_payload.clear();
 
-  // map picture slice ids to dense table indices
+  // map picture slice ids to dense table indices. Entries are seeded from
+  // a non-concealed MB of the slice when one exists: concealed MBs carry
+  // zeroed offsets (prepare_concealment) that must not leak into the
+  // slice's real parameters; the device overrides concealed MBs' offsets
+  // to zero itself (unpack_meta).
   std::vector<u16> slice_idx_of;  // indexed by slice_id
+  std::vector<bool> slice_seeded_clean;
   auto slice_index = [&](u32 i) -> u16 {
     u32 sid = slice_id[i];
-    if (sid >= slice_idx_of.size()) slice_idx_of.resize(sid + 1, 0xFFFF);
+    bool clean = mb_class[i] != kMbConcealed;
+    if (sid >= slice_idx_of.size()) {
+      slice_idx_of.resize(sid + 1, 0xFFFF);
+      slice_seeded_clean.resize(sid + 1, false);
+    }
     if (slice_idx_of[sid] == 0xFFFF) {
       slice_idx_of[sid] = u16(slice_table.size() / 4);
       slice_table.push_back(filter_off_a[i]);
       slice_table.push_back(filter_off_b[i]);
       slice_table.push_back(chroma_qp_offset[i]);
       slice_table.push_back(0);
+      slice_seeded_clean[sid] = clean;
+    } else if (clean && !slice_seeded_clean[sid]) {
+      u32 base = u32(slice_idx_of[sid]) * 4;
+      slice_table[base + 0] = filter_off_a[i];
+      slice_table[base + 1] = filter_off_b[i];
+      slice_table[base + 2] = chroma_qp_offset[i];
+      slice_seeded_clean[sid] = true;
     }
     return slice_idx_of[sid];
   };

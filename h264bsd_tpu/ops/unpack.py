@@ -51,11 +51,16 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     t["nnz_dc"] = ((nnz_mask[:, None] >> (24 + jnp.arange(3))[None, :]) & 1
                    ).astype(jnp.int32)
 
-    # per-slice deblock parameters
+    # per-slice deblock parameters; concealed MBs override them with zeros
+    # (ConcealMb conceal.c:388-392 fixes filterOffsetA/B and
+    # chromaQpIndexOffset to 0 regardless of the slice the MB belonged to)
     sidx = t["slice_id"].astype(jnp.int32)
-    t["filter_off_a"] = slice_table[sidx, 0]
-    t["filter_off_b"] = slice_table[sidx, 1]
-    t["chroma_qp_offset"] = slice_table[sidx, 2]
+    concealed = (t["mb_class"] == 6)[:, None]
+    row = jnp.where(concealed, jnp.zeros_like(slice_table[sidx]),
+                    slice_table[sidx])
+    t["filter_off_a"] = row[:, 0]
+    t["filter_off_b"] = row[:, 1]
+    t["chroma_qp_offset"] = row[:, 2]
 
     # dense MV/ref: broadcast the base, scatter the exceptions
     mv = jnp.broadcast_to(mv_base[:, None, :], (n, 16, 2))

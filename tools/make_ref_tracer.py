@@ -142,12 +142,26 @@ def main() -> None:
         "        return(H264BSD_PIC_RDY);",
     )
 
-    srcs = sorted(str(p) for p in src.glob("*.c")) + [str(OUT / "test_h264bsd.c")]
+    lib_srcs = sorted(str(p) for p in src.glob("*.c"))
     subprocess.run(
-        ["gcc", "-O2", "-std=gnu99", f"-I{src}", *srcs, "-o", str(OUT / "trace_h264bsd")],
+        ["gcc", "-O2", "-std=gnu99", f"-I{src}", *lib_srcs,
+         str(OUT / "test_h264bsd.c"), "-o", str(OUT / "trace_h264bsd")],
         check=True,
     )
     print(f"built {OUT}/trace_h264bsd")
+
+    # resilient variant: same instrumented library under the keep-going
+    # decode loop, so traces cover concealment of corrupt streams
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    from h264bsd_tpu.utils.golden import RESILIENT_MAIN
+    (OUT / "resilient_main.c").write_text(RESILIENT_MAIN)
+    subprocess.run(
+        ["gcc", "-O2", "-std=gnu99", f"-I{src}", *lib_srcs,
+         str(OUT / "resilient_main.c"),
+         "-o", str(OUT / "trace_h264bsd_resilient")],
+        check=True,
+    )
+    print(f"built {OUT}/trace_h264bsd_resilient")
 
 
 if __name__ == "__main__":

@@ -175,12 +175,13 @@ class FrontendDecoder:
         return dict(zip(keys, out[:14].tolist()))
 
     def pic_info(self) -> dict:
-        out = np.zeros(12, np.int32)
+        out = np.zeros(16, np.int32)
         self._lib.h264tpu_pic_info(self._h, out)
         keys = ["slot", "pic_id", "is_idr", "poc", "frame_num",
                 "num_concealed_mbs", "slice_type", "conceal_from_ref",
-                "conceal_ref_slot"]
-        return dict(zip(keys, out[:9].tolist()))
+                "conceal_ref_slot", "mv_min_x", "mv_min_y", "mv_max_x",
+                "mv_max_y", "used_slot_count", "used_slot_mask"]
+        return dict(zip(keys, out[:15].tolist()))
 
     def tensor(self, name: str, n_mbs: int) -> np.ndarray:
         """Copy of a per-frame tensor shaped (n_mbs, *per_mb_shape).

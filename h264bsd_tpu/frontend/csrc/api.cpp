@@ -58,18 +58,27 @@ void h264tpu_flush_buffer(void* inst) {
 
 // out12: [slot, pic_id, is_idr, poc, frame_num, n_concealed, slice_type,
 //         conceal_from_ref, conceal_ref_slot]
-void h264tpu_pic_info(void* inst, i32* out12) {
-  const PicReadyInfo& p = static_cast<Decoder*>(inst)->pic_info();
-  out12[0] = p.slot;
-  out12[1] = i32(p.pic_id);
-  out12[2] = i32(p.is_idr);
-  out12[3] = p.pic_order_cnt;
-  out12[4] = i32(p.frame_num);
-  out12[5] = i32(p.num_concealed_mbs);
-  out12[6] = i32(p.slice_type);
-  out12[7] = p.conceal_from_ref ? 1 : 0;
-  out12[8] = p.conceal_ref_slot;
-  out12[9] = out12[10] = out12[11] = 0;
+void h264tpu_pic_info(void* inst, i32* out16) {
+  Decoder* d = static_cast<Decoder*>(inst);
+  const PicReadyInfo& p = d->pic_info();
+  out16[0] = p.slot;
+  out16[1] = i32(p.pic_id);
+  out16[2] = i32(p.is_idr);
+  out16[3] = p.pic_order_cnt;
+  out16[4] = i32(p.frame_num);
+  out16[5] = i32(p.num_concealed_mbs);
+  out16[6] = i32(p.slice_type);
+  out16[7] = p.conceal_from_ref ? 1 : 0;
+  out16[8] = p.conceal_ref_slot;
+  // quarter-pel MV extremes of the picture (MC shift-range tiering)
+  const FrameTensors& t = d->tensors();
+  out16[9] = t.mv_min[0];
+  out16[10] = t.mv_min[1];
+  out16[11] = t.mv_max[0];
+  out16[12] = t.mv_max[1];
+  out16[13] = i32(__builtin_popcount(t.used_slot_mask));
+  out16[14] = i32(t.used_slot_mask);
+  out16[15] = 0;
 }
 
 // Zero-copy view of a frame tensor; valid until the next h264tpu_decode call

@@ -230,6 +230,8 @@ void FrameTensors::reset(u32 w_mbs, u32 h_mbs) {
   ref_slot.assign(n_mbs * 16, -1);
   nnz.assign(n_mbs * 24, 0);
   nnz_dc.assign(n_mbs * 3, 0);
+  mv_min[0] = mv_min[1] = mv_max[0] = mv_max[1] = 0;
+  used_slot_mask = 0;
   ipcm_mb.clear();
   ipcm_data.clear();
   // reserve the sparse streams at an I-frame-heavy working set so the
@@ -256,6 +258,8 @@ void FrameTensors::clear_picture() {
   mv_exc_id.clear();
   mv_exc_payload.clear();
   slice_table.clear();
+  mv_min[0] = mv_min[1] = mv_max[0] = mv_max[1] = 0;
+  used_slot_mask = 0;
 }
 
 void FrameTensors::build_packed() {
@@ -954,6 +958,14 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
     mvout[2 * r + 0] = cur.mv[z][0];
     mvout[2 * r + 1] = cur.mv[z][1];
     refout[r] = cur.ref_slot[z >> 2];
+    if (cur.ref_slot[z >> 2] >= 0 && cur.ref_slot[z >> 2] < 32) {
+      out->used_slot_mask |= 1u << cur.ref_slot[z >> 2];
+    }
+    for (u32 c = 0; c < 2; ++c) {
+      i32 v = cur.mv[z][c];
+      if (v < out->mv_min[c]) out->mv_min[c] = v;
+      if (v > out->mv_max[c]) out->mv_max[c] = v;
+    }
   }
   for (u32 b = 16; b < 24; ++b) nnz[b] = u8(cur.total_coeff[b]);
   out->nnz_dc[addr * 3 + 0] = u8(cur.total_coeff[24]);

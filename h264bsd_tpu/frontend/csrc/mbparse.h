@@ -103,6 +103,15 @@ struct FrameTensors {
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 
+  // per-picture quarter-pel MV extremes over every stored block MV; the
+  // device picks a static shift-range tier for the motion-compensation
+  // pass from these (fallback to the unbounded gather path when huge)
+  i32 mv_min[2] = {0, 0};
+  i32 mv_max[2] = {0, 0};
+  // bitmask of DPB slots referenced by any block this picture: the MC
+  // kernel holds the referenced planes in VMEM and tiers on their count
+  u32 used_slot_mask = 0;
+
   void reset(u32 w_mbs, u32 h_mbs);
   void clear_picture();  // new picture: zero decoded state
 };

@@ -10,6 +10,7 @@ over whole frames with a device-resident DPB ring
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -24,6 +25,14 @@ from ..ops.reconstruct import (build_pcm_tensors, reconstruct_frame,
                                reconstruct_frame_fast)
 from ..utils import golden
 
+MC_REF_CAP = 4          # DPB slots resident in VMEM for the Pallas MC path
+_MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 # status re-exports (reference h264bsd_decoder.h:46-55)
 RDY = fe.RDY
 PIC_RDY = fe.PIC_RDY
@@ -34,7 +43,8 @@ PARAM_SET_ERROR = fe.PARAM_SET_ERROR
 
 def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                        slot, conceal_from_ref, conceal_ref_slot, width_mbs,
-                       height_mbs, caps, intra_wavefront):
+                       height_mbs, caps, intra_wavefront, used_slots=None,
+                       mc_pallas=False):
     """One full frame on device: unpack, reconstruct, conceal, deblock,
     store. ONE host->device buffer per frame (tier-padded blob built by the
     C++ front-end) instead of ~19 dense tensors. Traced both standalone
@@ -47,7 +57,8 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     y, cb, cr, tensors = reconstruct_frame_fast(
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
-        dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront)
+        dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
+        used_slots=used_slots, mc_pallas=mc_pallas)
 
     # concealment of lost MBs (mb_class 6). P-type loss copies the
     # co-located MB from the first available reference (ConcealMb
@@ -90,21 +101,23 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps"))
+                                   "intra_wavefront", "caps", "mc_pallas"))
 def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                  conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
-                 caps, intra_wavefront=False):
+                 caps, intra_wavefront=False, used_slots=None,
+                 mc_pallas=False):
     return _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb,
                               pcm_cr, slot, conceal_from_ref,
                               conceal_ref_slot, width_mbs, height_mbs, caps,
-                              intra_wavefront)
+                              intra_wavefront, used_slots, mc_pallas)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps"))
+                                   "intra_wavefront", "caps", "mc_pallas"))
 def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                         slots, conceal_from_ref, conceal_ref_slot,
-                        width_mbs, height_mbs, caps, intra_wavefront=False):
+                        width_mbs, height_mbs, caps, intra_wavefront=False,
+                        used_slots=None, mc_pallas=False):
     """K frames in ONE dispatch: lax.scan of the per-frame body over
     stacked blobs, threading the DPB ring as carry. Amortizes the
     per-dispatch tunnel round trip (the steady-state limiter of the
@@ -112,24 +125,28 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     by frame k-1 directly from the carried ring, with zero host
     involvement between frames."""
 
+    if used_slots is None:
+        used_slots = jnp.zeros((blobs.shape[0], 2), jnp.int32)
+
     def body(carry, per_frame):
         dy, dcb, dcr = carry
-        blob, slot, cfr, crs = per_frame
+        blob, slot, cfr, crs, used = per_frame
         dy, dcb, dcr = _frame_decode_body(
             blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
-            width_mbs, height_mbs, caps, intra_wavefront)
+            width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas)
         return (dy, dcb, dcr), None
 
     (dpb_y, dpb_cb, dpb_cr), _ = jax.lax.scan(
         body, (dpb_y, dpb_cb, dpb_cr),
-        (blobs, slots, conceal_from_ref, conceal_ref_slot))
+        (blobs, slots, conceal_from_ref, conceal_ref_slot, used_slots))
     return dpb_y, dpb_cb, dpb_cr
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps"))
+                                   "intra_wavefront", "caps", "mc_pallas"))
 def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
-                     width_mbs, height_mbs, caps, intra_wavefront=False):
+                     width_mbs, height_mbs, caps, intra_wavefront=False,
+                     used_slots=None, mc_pallas=False):
     """Error path, stage 1: reconstruct the decoded MBs only (no
     concealment/deblocking) so the exact spiral concealment can run on
     host between the stages."""
@@ -141,7 +158,8 @@ def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     y, cb, cr, _ = reconstruct_frame_fast(
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
-        dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront)
+        dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
+        used_slots=used_slots, mc_pallas=mc_pallas)
     return y, cb, cr
 
 
@@ -295,10 +313,24 @@ class Decoder:
         blob = self._fe.blob(cap, wcap, ecap, icap, scap)
 
         ipcm = self._fe.ipcm()
+
+        # MC path: Pallas window kernels when the frame references at most
+        # MC_REF_CAP DPB slots (their planes must fit VMEM); XLA gather
+        # path otherwise and on non-TPU backends (H264TPU_MC overrides)
+        mask = info.get("used_slot_mask", 0)
+        used = [s for s in range(32) if mask >> s & 1][:MC_REF_CAP]
+        mc_pallas = (_MC_MODE == "pallas" or
+                     (_MC_MODE == "auto" and _on_tpu())) and \
+            info.get("used_slot_count", 99) <= MC_REF_CAP
+        if not used:
+            used = [0]
+        used_slots = np.asarray((used + [used[0]] * MC_REF_CAP)[:MC_REF_CAP],
+                                np.int32)
         return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
                     blob=blob, caps=(cap, wcap, ecap, icap, scap),
                     wavefront=wavefront, ipcm=ipcm,
-                    non_existing=non_existing)
+                    non_existing=non_existing, mc_pallas=mc_pallas,
+                    used_slots=used_slots)
 
     def _submit(self, prep):
         """Device half: transfer the blob and dispatch the frame step."""
@@ -340,7 +372,8 @@ class Decoder:
             from ..ops.conceal import conceal_picture
             ry, rcb, rcr = _recon_only_step(
                 blob, y, cb, cr, *pcm, prep["w_mbs"], prep["h_mbs"],
-                prep["caps"], prep["wavefront"])
+                prep["caps"], prep["wavefront"],
+                jnp.asarray(prep["used_slots"]), prep["mc_pallas"])
             yn = np.asarray(ry).copy()
             cbn = np.asarray(rcb).copy()
             crn = np.asarray(rcr).copy()
@@ -360,7 +393,8 @@ class Decoder:
                 blob, y, cb, cr, *pcm,
                 jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
                 jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
-                prep["h_mbs"], prep["caps"], prep["wavefront"])
+                prep["h_mbs"], prep["caps"], prep["wavefront"],
+                jnp.asarray(prep["used_slots"]), prep["mc_pallas"])
 
     def _windowable(self, prep) -> bool:
         """True when the frame can join a scanned multi-frame dispatch:
@@ -403,12 +437,14 @@ class Decoder:
         cfr = np.array([bool(p["info"]["conceal_from_ref"]) for p in preps])
         crs = np.array([p["info"]["conceal_ref_slot"] for p in preps],
                        np.int32)
+        used = np.stack([p["used_slots"] for p in preps])
         y, cb, cr = self._dpb
         self._dpb = _decode_window_step(
             jnp.asarray(blobs), y, cb, cr, *self._zero_pcm,
             jnp.asarray(slots), jnp.asarray(cfr), jnp.asarray(crs),
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
-            preps[0]["wavefront"])
+            preps[0]["wavefront"], jnp.asarray(used),
+            preps[0]["mc_pallas"])
 
     # -- output ------------------------------------------------------------
 
@@ -544,6 +580,7 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
         head = window[0][0]
         return (prep["caps"] == head["caps"]
                 and prep["wavefront"] == head["wavefront"]
+                and prep["mc_pallas"] == head["mc_pallas"]
                 and prep["n_mbs"] == head["n_mbs"]
                 and prep["info"]["slot"] not in out_slots)
 

@@ -1,0 +1,435 @@
+"""Pallas TPU motion-compensation kernels.
+
+Replaces the XLA gather formulation of ops.inter for the decode hot path:
+XLA gathers run on the scalar core at ~10 ns/element, pricing a 1080p
+P frame's 10.6M window samples at ~180 ms. Here the (edge-padded)
+reference planes live in VMEM and windows are *vector loads* at
+per-macroblock dynamic offsets, lane-packed so the 6-tap/bilinear math
+runs at full VPU width:
+
+ * uniform kernels — one MV per MB (every MB not on the front-end's
+   mv-exception list, ~94%): 4 MBs' (21, 24) luma windows pack one
+   128-lane register row; all 16 fractional cases (reference
+   lumaFracPos dispatch, h264bsd_reconstruct.c:1818-1940) are computed
+   with lane/sublane shifts and selected per window by a frac lane-map.
+ * exception kernels — per-4x4-block motion (P_16x8/8x16/8x8): 8 blocks'
+   (9, 16) windows pack 128 lanes; same case math at block granularity.
+
+Mosaic only allows dynamic vector loads at (8, 128)-aligned offsets, so
+each window load grabs an aligned superset and rotates the residual away
+(dynamic pltpu.roll); stores are fully static — kernels emit packed
+group-layout tiles that XLA reshapes back to the MB grid.
+
+Frame-border "overfill" (h264bsdFillBlock reconstruct.c:2244 == clamp
+every sample coordinate into the frame) is reproduced by edge-padding
+the reference planes and clamping each window's origin so fully-outside
+windows land entirely in the padding (which replicates the border
+row/column). Bit-exactness vs ops.inter is pinned by
+tests/test_pallas_mc.py in interpreter mode and by the on-TPU bench
+verification pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 24      # luma edge padding (window span 23 + clamp slack)
+CPAD = 16     # chroma edge padding (window span 9)
+LWIN = 32     # luma window lane pitch (4 windows = 128 lanes)
+LGRP = 4      # luma windows per packed row
+CWIN = 16     # chroma window lane pitch (8 windows = 128 lanes)
+CGRP = 8
+GU = 32       # uniform MBs per grid step
+GEL = 64      # exception blocks per luma grid step ((64/8)*4 = 32 tile rows)
+GEC = 256     # exception blocks per chroma grid step ((256/16)*2 = 32 rows)
+
+
+def _round128(x):
+    return -(-x // 128) * 128
+
+
+def _load_win(ref, r, y0, x0, rows, cols, tall):
+    """Dynamic-offset window load. Mosaic requires dynamic offsets at
+    (8, 128) granularity, so load the aligned (tall, 256) superset and
+    rotate the residuals away (dynamic rolls), then slice."""
+    y0a = pl.multiple_of((y0 // 8) * 8, 8)
+    x0a = pl.multiple_of((x0 // 128) * 128, 128)
+    w = ref[r, pl.ds(y0a, tall), pl.ds(x0a, 256)].astype(jnp.int32)
+    w = pltpu.roll(w, -(y0 - y0a), 0)
+    w = pltpu.roll(w, -(x0 - x0a), 1)
+    return w[0:rows, 0:cols]
+
+
+def _lshift(x, k):
+    """Rotate lanes left by static k (lane l takes value of lane l+k;
+    wrapped lanes land in unused slack and are never read)."""
+    if k == 0:
+        return x
+    return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
+
+
+def _tap6_lanes(w):
+    """Horizontal 6-tap (1,-5,20,20,-5,1): lane c gets the tap over lanes
+    c..c+5 (unshifted sum)."""
+    return (_lshift(w, 0) - 5 * _lshift(w, 1) + 20 * _lshift(w, 2)
+            + 20 * _lshift(w, 3) - 5 * _lshift(w, 4) + _lshift(w, 5))
+
+
+def _tap6_rows(w, r0, n):
+    """Vertical 6-tap: row r (of n) gets the tap over rows r0+r..r0+r+5."""
+    return (w[r0:r0 + n] - 5 * w[r0 + 1:r0 + 1 + n]
+            + 20 * w[r0 + 2:r0 + 2 + n] + 20 * w[r0 + 3:r0 + 3 + n]
+            - 5 * w[r0 + 4:r0 + 4 + n] + w[r0 + 5:r0 + 5 + n])
+
+
+def _clip8(x):
+    return jnp.clip(x, 0, 255)
+
+
+def _avg(a, b):
+    return (a + b + 1) >> 1
+
+
+def _luma_cases(w, n_out):
+    """All 16 fractional predictions for a packed window array.
+
+    w: (n_out + 5, 128) int32 — window rows (output row r uses window rows
+    r..r+5); lane c of each window carries column c (output col c reads
+    window cols c..c+5 via lane shifts). Case indexing matches
+    ops.inter.luma_predict_blocks (xFrac*4 + yFrac)."""
+    B = _tap6_lanes(w)
+    b_full = _clip8((B + 16) >> 5)
+    H_ = _tap6_rows(w, 0, n_out)
+    h_full = _clip8((H_ + 16) >> 5)
+    M = _tap6_rows(B, 0, n_out)
+    j = _clip8((M + 512) >> 10)
+
+    g = _lshift(w, 2)[2:2 + n_out]
+    g_right = _lshift(w, 3)[2:2 + n_out]
+    g_down = _lshift(w, 2)[3:3 + n_out]
+    b0 = b_full[2:2 + n_out]
+    b1 = b_full[3:3 + n_out]
+    h0 = _lshift(h_full, 2)
+    h1 = _lshift(h_full, 3)
+
+    return [
+        g,                  # 0  G
+        _avg(g, h0),        # 1  d
+        h0,                 # 2  h
+        _avg(g_down, h0),   # 3  n
+        _avg(g, b0),        # 4  a
+        _avg(b0, h0),       # 5  e
+        _avg(h0, j),        # 6  i
+        _avg(b1, h0),       # 7  p
+        b0,                 # 8  b
+        _avg(b0, j),        # 9  f
+        j,                  # 10 j
+        _avg(b1, j),        # 11 q
+        _avg(g_right, b0),  # 12 c
+        _avg(b0, h1),       # 13 g
+        _avg(h1, j),        # 14 k
+        _avg(b1, h1),       # 15 r
+    ]
+
+
+def _select_cases(cases, fmap):
+    out = cases[0]
+    for cid in range(1, 16):
+        out = jnp.where(fmap == cid, cases[cid], out)
+    return out
+
+
+def _scalar_lane_map(vals, rows, pitch):
+    """Broadcast per-window scalars onto their lane ranges."""
+    lane = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    wmap = lane // pitch
+    out = jnp.full((rows, 128), vals[0], jnp.int32)
+    for w in range(1, len(vals)):
+        out = jnp.where(wmap == w, vals[w], out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernels. Outputs are packed group tiles (static stores only):
+#   uniform luma  : one (16, 128) tile per 4-MB group
+#   uniform chroma: one (8, 128) cb + cr tile per 8-MB group
+#   exc luma      : one (4, 128) tile per 8-block group
+#   exc chroma    : one (2, 128) cb + cr tile per 16-block group
+# ---------------------------------------------------------------------------
+
+def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
+    base = pl.program_id(0) * GU
+
+    def group(g, _):
+        wins, fr = [], []
+        zpad = jnp.zeros((21, LWIN - 24), jnp.int32)
+        for wslot in range(LGRP):
+            m = jnp.minimum(base + g * LGRP + wslot, n_mbs - 1) - base
+            fr.append(meta_ref[m, 2])
+            wins.extend([_load_win(refs_ref, meta_ref[m, 3], meta_ref[m, 0],
+                                   meta_ref[m, 1], 21, 24, 32), zpad])
+        pk = jnp.concatenate(wins, axis=1)
+        sel = _scalar_lane_map(fr, 16, LWIN)
+        res = _clip8(_select_cases(_luma_cases(pk, 16), sel))
+        out_ref[pl.ds(g * 16, 16), :] = res.astype(jnp.uint8)
+        return 0
+
+    lax.fori_loop(0, GU // LGRP, group, 0, unroll=True)
+
+
+def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
+                           n_mbs):
+    base = pl.program_id(0) * GU
+
+    def group(g, _):
+        winsb, winsr, xf, yf = [], [], [], []
+        zpad = jnp.zeros((9, CWIN - 12), jnp.int32)
+        for wslot in range(CGRP):
+            m = jnp.minimum(base + g * CGRP + wslot, n_mbs - 1) - base
+            xf.append(meta_ref[m, 6])
+            yf.append(meta_ref[m, 7])
+            r = meta_ref[m, 3]
+            winsb.extend([_load_win(rcb_ref, r, meta_ref[m, 4],
+                                    meta_ref[m, 5], 9, 12, 16), zpad])
+            winsr.extend([_load_win(rcr_ref, r, meta_ref[m, 4],
+                                    meta_ref[m, 5], 9, 12, 16), zpad])
+        pkb = jnp.concatenate(winsb, axis=1)
+        pkr = jnp.concatenate(winsr, axis=1)
+        cxf = _scalar_lane_map(xf, 8, CWIN)
+        cyf = _scalar_lane_map(yf, 8, CWIN)
+
+        def bilinear(pk):
+            a = pk[0:8]
+            b = _lshift(pk, 1)[0:8]
+            c = pk[1:9]
+            d = _lshift(pk, 1)[1:9]
+            return (((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b +
+                     (8 - cxf) * cyf * c + cxf * cyf * d + 32) >> 6) \
+                .astype(jnp.uint8)
+
+        ocb_ref[pl.ds(g * 8, 8), :] = bilinear(pkb)
+        ocr_ref[pl.ds(g * 8, 8), :] = bilinear(pkr)
+        return 0
+
+    lax.fori_loop(0, GU // CGRP, group, 0, unroll=True)
+
+
+def _exc_luma_kernel(meta_ref, refs_ref, out_ref, *, n_blocks):
+    base = pl.program_id(0) * GEL
+
+    def group(g, _):
+        wins, fr = [], []
+        for wslot in range(CGRP):
+            m = jnp.minimum(base + g * CGRP + wslot, n_blocks - 1) - base
+            fr.append(meta_ref[m, 2])
+            wins.append(_load_win(refs_ref, meta_ref[m, 3], meta_ref[m, 0],
+                                  meta_ref[m, 1], 9, 16, 16))
+        pk = jnp.concatenate(wins, axis=1)
+        sel = _scalar_lane_map(fr, 4, CWIN)
+        res = _clip8(_select_cases(_luma_cases(pk, 4), sel))
+        out_ref[pl.ds(g * 4, 4), :] = res.astype(jnp.uint8)
+        return 0
+
+    lax.fori_loop(0, GEL // CGRP, group, 0, unroll=True)
+
+
+def _exc_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
+                       n_blocks):
+    base = pl.program_id(0) * GEC
+    NW = 16
+
+    def group(g, _):
+        winsb, winsr, xf, yf = [], [], [], []
+        for wslot in range(NW):
+            m = jnp.minimum(base + g * NW + wslot, n_blocks - 1) - base
+            xf.append(meta_ref[m, 10])
+            yf.append(meta_ref[m, 11])
+            r = meta_ref[m, 3]
+            winsb.append(_load_win(rcb_ref, r, meta_ref[m, 8],
+                                   meta_ref[m, 9], 3, 8, 16))
+            winsr.append(_load_win(rcr_ref, r, meta_ref[m, 8],
+                                   meta_ref[m, 9], 3, 8, 16))
+        pkb = jnp.concatenate(winsb, axis=1)
+        pkr = jnp.concatenate(winsr, axis=1)
+        cxf = _scalar_lane_map(xf, 2, 8)
+        cyf = _scalar_lane_map(yf, 2, 8)
+
+        def bilinear(pk):
+            a = pk[0:2]
+            b = _lshift(pk, 1)[0:2]
+            c = pk[1:3]
+            d = _lshift(pk, 1)[1:3]
+            return (((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b +
+                     (8 - cxf) * cyf * c + cxf * cyf * d + 32) >> 6) \
+                .astype(jnp.uint8)
+
+        ocb_ref[pl.ds(g * 2, 2), :] = bilinear(pkb)
+        ocr_ref[pl.ds(g * 2, 2), :] = bilinear(pkr)
+        return 0
+
+    lax.fori_loop(0, GEC // NW, group, 0, unroll=True)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue
+# ---------------------------------------------------------------------------
+
+def _pad_edge(planes, pad):
+    """Edge-pad, plus extra bottom/right zeros so every aligned (8, 128)
+    superset load stays in bounds."""
+    n, h, w = planes.shape
+    hp = -(-(h + 2 * pad + 32) // 8) * 8
+    wp = _round128(w + 2 * pad) + 256
+    out = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    return jnp.pad(out, ((0, 0), (0, hp - (h + 2 * pad)),
+                         (0, wp - (w + 2 * pad))))
+
+
+def _ref_index(base_slot, used_slots):
+    ridx = jnp.zeros_like(base_slot)
+    for i in range(used_slots.shape[0]):
+        ridx = jnp.where(base_slot == used_slots[i], i, ridx)
+    return ridx
+
+
+def _run(kernel, meta, refs, n_out_specs, out_rows, block_mbs,
+         interpret):
+    steps = meta.shape[0] // block_mbs
+    mcols = meta.shape[1]
+    specs = [pl.BlockSpec((block_mbs, mcols), lambda i: (i, 0),
+                          memory_space=pltpu.SMEM)]
+    specs += [pl.BlockSpec(x.shape, lambda i: (0, 0, 0)) for x in refs]
+    outs = [pl.BlockSpec((out_rows, 128), lambda i: (i, 0))
+            for _ in range(n_out_specs)]
+    shapes = [jax.ShapeDtypeStruct((steps * out_rows, 128), jnp.uint8)
+              for _ in range(n_out_specs)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0, grid=(steps,),
+            in_specs=specs,
+            out_specs=outs if n_out_specs > 1 else outs[0]),
+        out_shape=shapes if n_out_specs > 1 else shapes[0],
+        interpret=interpret,
+    )(meta, *refs)
+
+
+def _tiles_to_grid(t, grp, pitch, size):
+    """(n_groups*size, 128) packed tiles -> (n_windows, size, size)."""
+    t = t.reshape(-1, size, grp, pitch)[:, :, :, :size]
+    return t.transpose(0, 2, 1, 3).reshape(-1, size, size)
+
+
+def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
+                     used_slots, width_mbs, height_mbs, interpret=False):
+    """Motion compensation for the whole frame on TPU via Pallas.
+
+    mv: (nMB, 16, 2) int32 quarter-pel; ref_slot: (nMB, 16) int32;
+    exc_ids: (excCap,) int32 MB indices with per-block motion (padding
+    entries == nMB); used_slots: (refCap,) int32 DPB slots referenced this
+    frame (padded by repetition). Returns (y, cb, cr) uint8 MB grids
+    ((nMB,16,16)/(nMB,8,8)); values meaningful only for inter MBs.
+    """
+    n_mb = mv.shape[0]
+    H, W = dpb_y.shape[1], dpb_y.shape[2]
+    Hc, Wc = H // 2, W // 2
+
+    refs_y = _pad_edge(dpb_y[used_slots], PAD)
+    refs_cb = _pad_edge(dpb_cb[used_slots], CPAD)
+    refs_cr = _pad_edge(dpb_cr[used_slots], CPAD)
+
+    mb = jnp.arange(n_mb, dtype=jnp.int32)
+    mb_y16 = (mb // width_mbs) * 16
+    mb_x16 = (mb % width_mbs) * 16
+    mvx = mv[:, 0, 0]
+    mvy = mv[:, 0, 1]
+    ridx = _ref_index(jnp.maximum(ref_slot[:, 0], 0), used_slots)
+
+    y0 = jnp.clip(mb_y16 + (mvy >> 2), -19, H + 1) - 2 + PAD
+    x0 = jnp.clip(mb_x16 + (mvx >> 2), -21, W + 1) - 2 + PAD
+    frac = (mvx & 3) * 4 + (mvy & 3)
+    cy0 = jnp.clip((mb_y16 >> 1) + (mvy >> 3), -9, Hc + 1) + CPAD
+    cx0 = jnp.clip((mb_x16 >> 1) + (mvx >> 3), -9, Wc + 1) + CPAD
+    meta = jnp.stack([y0, x0, frac, ridx, cy0, cx0, mvx & 7, mvy & 7],
+                     axis=1).astype(jnp.int32)
+
+    n_steps = max(1, -(-n_mb // GU))
+    meta_p = jnp.pad(meta, ((0, n_steps * GU - n_mb), (0, 0)))
+
+    uy = _run(partial(_uniform_luma_kernel, n_mbs=n_mb), meta_p, [refs_y],
+              1, (GU // LGRP) * 16, GU, interpret)
+    ucb, ucr = _run(partial(_uniform_chroma_kernel, n_mbs=n_mb), meta_p,
+                    [refs_cb, refs_cr], 2, (GU // CGRP) * 8, GU, interpret)
+
+    grid_y = _tiles_to_grid(uy, LGRP, LWIN, 16)[:n_mb]
+    grid_cb = _tiles_to_grid(ucb, CGRP, CWIN, 8)[:n_mb]
+    grid_cr = _tiles_to_grid(ucr, CGRP, CWIN, 8)[:n_mb]
+
+    exc_cap = exc_ids.shape[0]
+    if exc_cap:
+        eids = jnp.minimum(exc_ids, n_mb - 1).astype(jnp.int32)
+        emv = mv[eids]
+        eref = ref_slot[eids]
+        bx = jnp.asarray(np.tile([0, 4, 8, 12], 4), jnp.int32)
+        by = jnp.asarray(np.repeat([0, 4, 8, 12], 4), jnp.int32)
+        e_y16 = ((eids // width_mbs) * 16)[:, None] + by[None, :]
+        e_x16 = ((eids % width_mbs) * 16)[:, None] + bx[None, :]
+        emvx = emv[..., 0]
+        emvy = emv[..., 1]
+        eridx = _ref_index(jnp.maximum(eref, 0), used_slots)
+
+        ey0 = jnp.clip(e_y16 + (emvy >> 2), -7, H + 1) - 2 + PAD
+        ex0 = jnp.clip(e_x16 + (emvx >> 2), -7, W + 1) - 2 + PAD
+        efrac = (emvx & 3) * 4 + (emvy & 3)
+        ecy0 = jnp.clip((e_y16 >> 1) + (emvy >> 3), -3, Hc + 1) + CPAD
+        ecx0 = jnp.clip((e_x16 >> 1) + (emvx >> 3), -3, Wc + 1) + CPAD
+
+        n_blk = exc_cap * 16
+        z = jnp.zeros_like(ey0)
+        bmeta = jnp.stack([ey0, ex0, efrac, eridx, z, z, z, z,
+                           ecy0, ecx0, emvx & 7, emvy & 7, z, z, z, z],
+                          axis=2).reshape(n_blk, 16).astype(jnp.int32)
+        pad_l = max(1, -(-n_blk // GEL)) * GEL - n_blk
+        pad_c = max(1, -(-n_blk // GEC)) * GEC - n_blk
+        bmeta_l = jnp.pad(bmeta, ((0, pad_l), (0, 0)))
+        bmeta_c = jnp.pad(bmeta, ((0, pad_c), (0, 0)))
+
+        ey = _run(partial(_exc_luma_kernel, n_blocks=n_blk), bmeta_l,
+                  [refs_y], 1, (GEL // CGRP) * 4, GEL, interpret)
+        ecb, ecr = _run(partial(_exc_chroma_kernel, n_blocks=n_blk),
+                        bmeta_c, [refs_cb, refs_cr], 2, (GEC // 16) * 2,
+                        GEC, interpret)
+
+        def blocks_to_mbs(t, pitch, size):
+            blk = _tiles_to_grid(t, 128 // pitch, pitch, size)[:n_blk]
+            blk = blk.reshape(exc_cap, 4, 4, size, size)
+            return blk.transpose(0, 1, 3, 2, 4).reshape(
+                exc_cap, 4 * size, 4 * size)
+
+        grid_y = grid_y.at[exc_ids].set(blocks_to_mbs(ey, CWIN, 4),
+                                        mode="drop")
+        grid_cb = grid_cb.at[exc_ids].set(blocks_to_mbs(ecb, 8, 2),
+                                          mode="drop")
+        grid_cr = grid_cr.at[exc_ids].set(blocks_to_mbs(ecr, 8, 2),
+                                          mode="drop")
+
+    return grid_y, grid_cb, grid_cr
+
+
+def mc_predict_planes(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
+                      used_slots, width_mbs, height_mbs, interpret=False):
+    """Plane-shaped variant of mc_predict_grids."""
+    from .reconstruct import mb_grid_to_plane
+    gy, gcb, gcr = mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
+                                    exc_ids, used_slots, width_mbs,
+                                    height_mbs, interpret)
+    return (mb_grid_to_plane(gy, width_mbs, height_mbs),
+            mb_grid_to_plane(gcb, width_mbs, height_mbs),
+            mb_grid_to_plane(gcr, width_mbs, height_mbs))

@@ -104,17 +104,21 @@ def build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data):
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront"))
+                                   "intra_wavefront", "mc_pallas"))
 def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                            mv_exc_ids, mv_exc_payload, intra_mbs,
                            intra_payload, pcm_y, pcm_cb, pcm_cr,
                            dpb_y, dpb_cb, dpb_cr,
-                           width_mbs, height_mbs, intra_wavefront=False):
+                           width_mbs, height_mbs, intra_wavefront=False,
+                           used_slots=None, mc_pallas=False):
     """Transfer-optimized variant: unpack the single metadata buffer and the
     sparse residual stream on device, then run the same phase passes. The
     intra stage either iterates the (padded) intra-MB list (sparse intra,
     typical P frames) or runs the anti-diagonal wavefront (intra-heavy
-    frames), chosen statically by the caller."""
+    frames), chosen statically by the caller. With mc_pallas the motion
+    compensation runs as the Pallas window kernels (ops.pallas_mc; the
+    referenced DPB slots must be listed in used_slots); otherwise the XLA
+    gather path (ops.inter)."""
     from .intra import intra_pass_list, intra_pass_wavefront
     from .unpack import densify_residual, unpack_meta
 
@@ -131,9 +135,20 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
         t["nnz_dc"].astype(jnp.int32), mb_class == 4)
     res_l, res_c = mb_residual_planes(res)
 
-    pred_y, pred_cb, pred_cr = inter_predict_frame(
-        dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
-        t["ref_slot"].astype(jnp.int32), width_mbs, height_mbs)
+    if mc_pallas:
+        from .pallas_mc import mc_predict_grids
+        pred_y, pred_cb, pred_cr = mc_predict_grids(
+            dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+            t["ref_slot"].astype(jnp.int32),
+            mv_exc_ids.reshape(-1).astype(jnp.int32), used_slots,
+            width_mbs, height_mbs)
+        pred_y = pred_y.astype(jnp.int32)
+        pred_cb = pred_cb.astype(jnp.int32)
+        pred_cr = pred_cr.astype(jnp.int32)
+    else:
+        pred_y, pred_cb, pred_cr = inter_predict_frame(
+            dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+            t["ref_slot"].astype(jnp.int32), width_mbs, height_mbs)
 
     inter_mask = (mb_class == 1) | (mb_class == 2)
     pcm_mask = mb_class == 5

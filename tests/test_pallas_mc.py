@@ -1,0 +1,56 @@
+"""Parity of the Pallas motion-compensation kernels (interpreter mode)
+against the XLA formulation (ops.inter), which itself carries frame parity
+vs the reference decoder (tests/test_inter.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from h264bsd_tpu.ops.inter import inter_predict_frame
+from h264bsd_tpu.ops.pallas_mc import mc_predict_planes
+from h264bsd_tpu.ops.reconstruct import mb_grid_to_plane
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mc_parity_interpret(seed):
+    rng = np.random.default_rng(seed)
+    w_mbs, h_mbs = 6, 4
+    n_mb = w_mbs * h_mbs
+    H, W = h_mbs * 16, w_mbs * 16
+    n_slots = 3
+    dpb_y = rng.integers(0, 255, (n_slots, H, W), dtype=np.uint8)
+    dpb_cb = rng.integers(0, 255, (n_slots, H // 2, W // 2), dtype=np.uint8)
+    dpb_cr = rng.integers(0, 255, (n_slots, H // 2, W // 2), dtype=np.uint8)
+
+    # uniform MVs per MB, with a few exception MBs holding per-block MVs;
+    # ranges push windows across and fully outside the frame borders
+    mv = np.zeros((n_mb, 16, 2), np.int32)
+    base = rng.integers(-80, 80, (n_mb, 1, 2))
+    mv[:] = base
+    exc = np.array([1, 5, 17], np.int32)
+    mv[exc] = rng.integers(-80, 80, (len(exc), 16, 2))
+    ref_slot = np.zeros((n_mb, 16), np.int32)
+    ref_slot[:] = rng.integers(0, 2, (n_mb, 1)) * 2   # slots {0, 2}
+    ref_slot[exc] = rng.integers(0, 2, (len(exc), 16)) * 2
+
+    py, pcb, pcr = inter_predict_frame(
+        jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
+        jnp.asarray(mv), jnp.asarray(ref_slot), w_mbs, h_mbs)
+    want_y = np.asarray(mb_grid_to_plane(
+        jnp.clip(py, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+    want_cb = np.asarray(mb_grid_to_plane(
+        jnp.clip(pcb, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+    want_cr = np.asarray(mb_grid_to_plane(
+        jnp.clip(pcr, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+
+    exc_ids = np.full(8, n_mb, np.int32)
+    exc_ids[:len(exc)] = exc
+    used = np.array([0, 2], np.int32)
+    got_y, got_cb, got_cr = mc_predict_planes(
+        jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
+        jnp.asarray(mv), jnp.asarray(ref_slot), jnp.asarray(exc_ids),
+        jnp.asarray(used), w_mbs, h_mbs, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_y), want_y)
+    np.testing.assert_array_equal(np.asarray(got_cb), want_cb)
+    np.testing.assert_array_equal(np.asarray(got_cr), want_cr)

@@ -283,6 +283,31 @@ class FrontendDecoder:
         """u8[K,32]: i4 modes[16] + avail[16] per intra_list entry."""
         return self._raw(29, np.uint8).reshape(-1, 32)
 
+    def take_sei(self):
+        """Oldest captured SEI RBSP payload (bytes) or None. The C++
+        front-end queues each SEI NAL's payload (the reference skips the
+        NAL entirely, decoder.c:464-466); decode the messages with
+        frontend.sei.parse_sei_rbsp."""
+        size = ct.c_uint64(0)
+        ptr = self._lib.h264tpu_take_sei(self._h, ct.byref(size))
+        if not ptr:
+            return None
+        return bytes((ct.c_char * size.value).from_address(ptr))
+
+    def sps_hrd(self, sps_id: int):
+        """HRD/pic-timing fields of a stored SPS (for SEI decoding), or
+        None if that SPS was never seen."""
+        out = np.zeros(16, np.uint32)
+        if not self._lib.h264tpu_sps_hrd(self._h, sps_id, out):
+            return None
+        keys = ["vui_present", "nal_hrd_present", "vcl_hrd_present",
+                "nal_cpb_cnt", "vcl_cpb_cnt", "nal_initial_len",
+                "vcl_initial_len", "cpb_removal_delay_length",
+                "dpb_output_delay_length", "time_offset_length",
+                "pic_struct_present", "timing_info_present",
+                "num_units_in_tick", "time_scale", "low_delay_hrd"]
+        return dict(zip(keys, out[:15].tolist()))
+
     def flush_buffer(self):
         """Drain the DPB into the output queue (h264bsdFlushBuffer,
         reference decoder.c:834)."""

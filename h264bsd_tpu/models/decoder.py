@@ -21,6 +21,7 @@ import numpy as np
 
 from ..frontend import binding as fe
 from ..ops.deblock import deblock_frame
+from ..ops.pallas_deblock import deblock_frame_pallas
 from ..ops.reconstruct import (build_pcm_tensors, reconstruct_frame,
                                reconstruct_frame_fast)
 from ..utils import golden
@@ -44,7 +45,7 @@ PARAM_SET_ERROR = fe.PARAM_SET_ERROR
 def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                        slot, conceal_from_ref, conceal_ref_slot, width_mbs,
                        height_mbs, caps, intra_wavefront, used_slots=None,
-                       mc_pallas=False):
+                       mc_pallas=False, deblock_pallas=False):
     """One full frame on device: unpack, reconstruct, conceal, deblock,
     store. ONE host->device buffer per frame (tier-padded blob built by the
     C++ front-end) instead of ~19 dense tensors. Traced both standalone
@@ -58,7 +59,8 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
-        used_slots=used_slots, mc_pallas=mc_pallas)
+        used_slots=used_slots, mc_pallas=mc_pallas,
+        intra_pallas=deblock_pallas)
 
     # concealment of lost MBs (mb_class 6). P-type loss copies the
     # co-located MB from the first available reference (ConcealMb
@@ -88,7 +90,8 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     y, cb, cr = jax.lax.cond(concealed.any(), apply_conceal,
                              lambda p: p, (y, cb, cr))
 
-    y, cb, cr = deblock_frame(
+    dblk = deblock_frame_pallas if deblock_pallas else deblock_frame
+    y, cb, cr = dblk(
         y, cb, cr, tensors["mb_class"], tensors["nnz"], tensors["mv"],
         tensors["ref_slot"], tensors["slice_id"], tensors["disable_dblk"],
         tensors["qp_y"], tensors["filter_off_a"], tensors["filter_off_b"],
@@ -101,23 +104,27 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps", "mc_pallas"))
+                                   "intra_wavefront", "caps", "mc_pallas",
+                                   "deblock_pallas"))
 def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                  conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
                  caps, intra_wavefront=False, used_slots=None,
-                 mc_pallas=False):
+                 mc_pallas=False, deblock_pallas=False):
     return _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb,
                               pcm_cr, slot, conceal_from_ref,
                               conceal_ref_slot, width_mbs, height_mbs, caps,
-                              intra_wavefront, used_slots, mc_pallas)
+                              intra_wavefront, used_slots, mc_pallas,
+                              deblock_pallas)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps", "mc_pallas"))
+                                   "intra_wavefront", "caps", "mc_pallas",
+                                   "deblock_pallas"))
 def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                         slots, conceal_from_ref, conceal_ref_slot,
                         width_mbs, height_mbs, caps, intra_wavefront=False,
-                        used_slots=None, mc_pallas=False):
+                        used_slots=None, mc_pallas=False,
+                        deblock_pallas=False):
     """K frames in ONE dispatch: lax.scan of the per-frame body over
     stacked blobs, threading the DPB ring as carry. Amortizes the
     per-dispatch tunnel round trip (the steady-state limiter of the
@@ -133,7 +140,8 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         blob, slot, cfr, crs, used = per_frame
         dy, dcb, dcr = _frame_decode_body(
             blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
-            width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas)
+            width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas,
+            deblock_pallas)
         return (dy, dcb, dcr), None
 
     (dpb_y, dpb_cb, dpb_cr), _ = jax.lax.scan(
@@ -143,10 +151,12 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "caps", "mc_pallas"))
+                                   "intra_wavefront", "caps", "mc_pallas",
+                                   "deblock_pallas"))
 def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                      width_mbs, height_mbs, caps, intra_wavefront=False,
-                     used_slots=None, mc_pallas=False):
+                     used_slots=None, mc_pallas=False,
+                     deblock_pallas=False):
     """Error path, stage 1: reconstruct the decoded MBs only (no
     concealment/deblocking) so the exact spiral concealment can run on
     host between the stages."""
@@ -159,13 +169,15 @@ def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
-        used_slots=used_slots, mc_pallas=mc_pallas)
+        used_slots=used_slots, mc_pallas=mc_pallas,
+        intra_pallas=deblock_pallas)
     return y, cb, cr
 
 
-@partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps"))
+@partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps",
+                                   "deblock_pallas"))
 def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
-                        width_mbs, height_mbs, caps):
+                        width_mbs, height_mbs, caps, deblock_pallas=False):
     """Error path, stage 2: deblock the concealed picture and store it."""
     from ..ops.unpack import unpack_blob, unpack_meta
     n_mbs = width_mbs * height_mbs
@@ -173,7 +185,8 @@ def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
      intra_payload) = unpack_blob(blob, n_mbs, *caps)
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
                     intra_mbs, intra_payload, n_mbs)
-    y, cb, cr = deblock_frame(
+    dblk = deblock_frame_pallas if deblock_pallas else deblock_frame
+    y, cb, cr = dblk(
         y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
         t["slice_id"], t["disable_dblk"], t["qp_y"], t["filter_off_a"],
         t["filter_off_b"], t["chroma_qp_offset"], width_mbs, height_mbs)
@@ -319,8 +332,9 @@ class Decoder:
         # path otherwise and on non-TPU backends (H264TPU_MC overrides)
         mask = info.get("used_slot_mask", 0)
         used = [s for s in range(32) if mask >> s & 1][:MC_REF_CAP]
-        mc_pallas = (_MC_MODE == "pallas" or
-                     (_MC_MODE == "auto" and _on_tpu())) and \
+        kernels_on = _MC_MODE == "pallas" or \
+            (_MC_MODE == "auto" and _on_tpu())
+        mc_pallas = kernels_on and \
             info.get("used_slot_count", 99) <= MC_REF_CAP
         if not used:
             used = [0]
@@ -330,7 +344,7 @@ class Decoder:
                     blob=blob, caps=(cap, wcap, ecap, icap, scap),
                     wavefront=wavefront, ipcm=ipcm,
                     non_existing=non_existing, mc_pallas=mc_pallas,
-                    used_slots=used_slots)
+                    deblock_pallas=kernels_on, used_slots=used_slots)
 
     def _submit(self, prep):
         """Device half: transfer the blob and dispatch the frame step."""
@@ -373,7 +387,8 @@ class Decoder:
             ry, rcb, rcr = _recon_only_step(
                 blob, y, cb, cr, *pcm, prep["w_mbs"], prep["h_mbs"],
                 prep["caps"], prep["wavefront"],
-                jnp.asarray(prep["used_slots"]), prep["mc_pallas"])
+                jnp.asarray(prep["used_slots"]), prep["mc_pallas"],
+                prep["deblock_pallas"])
             yn = np.asarray(ry).copy()
             cbn = np.asarray(rcb).copy()
             crn = np.asarray(rcr).copy()
@@ -387,14 +402,15 @@ class Decoder:
             self._dpb = _deblock_store_step(
                 jnp.asarray(yn), jnp.asarray(cbn), jnp.asarray(crn), blob,
                 y, cb, cr, jnp.int32(info["slot"]), prep["w_mbs"],
-                prep["h_mbs"], prep["caps"])
+                prep["h_mbs"], prep["caps"], prep["deblock_pallas"])
         else:
             self._dpb = _decode_step(
                 blob, y, cb, cr, *pcm,
                 jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
                 jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
                 prep["h_mbs"], prep["caps"], prep["wavefront"],
-                jnp.asarray(prep["used_slots"]), prep["mc_pallas"])
+                jnp.asarray(prep["used_slots"]), prep["mc_pallas"],
+                prep["deblock_pallas"])
 
     def _windowable(self, prep) -> bool:
         """True when the frame can join a scanned multi-frame dispatch:
@@ -444,7 +460,7 @@ class Decoder:
             jnp.asarray(slots), jnp.asarray(cfr), jnp.asarray(crs),
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
             preps[0]["wavefront"], jnp.asarray(used),
-            preps[0]["mc_pallas"])
+            preps[0]["mc_pallas"], preps[0]["deblock_pallas"])
 
     # -- output ------------------------------------------------------------
 
@@ -500,6 +516,45 @@ class Decoder:
 
     def video_full_range(self):
         return bool(self._geom["full_range"])
+
+    def take_sei_messages(self):
+        """Drain and decode every SEI message received since the last
+        call (list of frontend.sei.SeiMessage). Goes beyond the reference,
+        whose SEI parser is dead code (h264bsd_sei.c; decoder.c:464-466
+        skips the NAL): here the front-end queues each SEI NAL's RBSP and
+        the messages are decoded host-side, with buffering-period /
+        pic-timing HRD geometry looked up from the stored SPSs."""
+        from ..frontend.sei import parse_sei_rbsp
+
+        def hrd_lookup(sps_id):
+            h = self._fe.sps_hrd(sps_id)
+            if h is None or not h["vui_present"]:
+                return None
+            return {"nal_hrd_present": h["nal_hrd_present"],
+                    "vcl_hrd_present": h["vcl_hrd_present"],
+                    "nal_cpb_cnt": h["nal_cpb_cnt"],
+                    "vcl_cpb_cnt": h["vcl_cpb_cnt"],
+                    "nal_initial_len": h["nal_initial_len"],
+                    "vcl_initial_len": h["vcl_initial_len"]}
+
+        active = None
+        g = self._geom
+        if g is not None:
+            # pic-timing geometry comes from the active SPS
+            for sid in range(32):
+                h = self._fe.sps_hrd(sid)
+                if h is not None:
+                    active = h
+                    break
+        msgs = []
+        pic_size = 0
+        if g:
+            pic_size = g["width_mbs"] * g["height_mbs"]
+        while (rbsp := self._fe.take_sei()) is not None:
+            msgs.extend(parse_sei_rbsp(
+                rbsp, hrd_lookup=hrd_lookup, active_hrd=active,
+                pic_size_in_map_units=pic_size))
+        return msgs
 
 
 def decode_stream(data: bytes, max_pictures: int | None = None,
@@ -581,6 +636,7 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
         return (prep["caps"] == head["caps"]
                 and prep["wavefront"] == head["wavefront"]
                 and prep["mc_pallas"] == head["mc_pallas"]
+                and prep["deblock_pallas"] == head["deblock_pallas"]
                 and prep["n_mbs"] == head["n_mbs"]
                 and prep["info"]["slot"] not in out_slots)
 

@@ -1,0 +1,368 @@
+"""Pallas TPU in-loop deblocking filter.
+
+The XLA formulations of ops.deblock pay heavy per-step overheads: the
+raster fori_loop spends ~650 ms and the skewed wavefront ~87 ms on a
+1080p frame. Here the whole picture lives in VMEM scratch (padded so
+every aligned access stays in bounds) and one sequential program walks
+the MBs in raster order — exactly the reference's in-place
+vertical-then-horizontal per-MB schedule (h264bsdFilterPicture
+deblocking.c:575-640) — doing an aligned superset read-modify-write per
+MB. Boundary strengths and alpha/beta/tc0 thresholds are precomputed by
+ops.deblock's vectorized XLA passes and streamed per-MB through SMEM.
+
+Edge math is a lane-layout port of ops.deblock's _filter_luma_edge /
+_filter_chroma_edge (reference FilterVerLumaEdge deblocking.c:656-761
+and friends); parity vs ops.deblock.deblock_frame is pinned by
+tests/test_pallas_deblock.py in interpreter mode and by the on-TPU bench
+verification pass.
+
+Per-MB meta row (64 x i32):
+  [0:16]  bs_left (per 4-pel group of the 4 vertical edges)
+  [16:32] bs_top
+  [32:35] luma alpha (inner, top, left)   [35:38] luma beta
+  [38:47] luma tc0[cls][bs-1]
+  [47:50] chroma alpha                    [50:53] chroma beta
+  [53:62] chroma tc0
+  [62]    any-edge flag (skip MB when 0)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DG = 32        # MBs per grid step (SMEM meta chunk)
+PT = 8         # top padding rows (scratch)
+PL = 128       # left padding lanes (scratch)
+
+
+def _round128(x):
+    return -(-x // 128) * 128
+
+
+def _lsh(x, k):
+    if k == 0:
+        return x
+    return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
+
+
+def _rsh(x, k):
+    if k == 0:
+        return x
+    return jnp.concatenate([x[:, -k:], x[:, :-k]], axis=1)
+
+
+def _lane_mask(rows, lane):
+    i = lax.broadcasted_iota(jnp.int32, (rows, 32), 1)
+    return i == lane
+
+
+def _lane_range(rows, lo, hi):
+    i = lax.broadcasted_iota(jnp.int32, (rows, 32), 1)
+    return (i >= lo) & (i < hi)
+
+
+def _group_rows(vals, rows_per):
+    """Per-group scalars -> (len*rows_per, 32) broadcast rows."""
+    return jnp.concatenate(
+        [jnp.full((rows_per, 32), v, jnp.int32) for v in vals], axis=0)
+
+
+def _group_lanes(vals, lanes_per, rows, lo):
+    """Per-group scalars -> (rows, 32) map on lanes [lo, lo+4*lanes_per)."""
+    lane = lax.broadcasted_iota(jnp.int32, (rows, 32), 1)
+    g = (lane - lo) // lanes_per
+    out = jnp.full((rows, 32), vals[0], jnp.int32)
+    for k in range(1, len(vals)):
+        out = jnp.where(g == k, vals[k], out)
+    return out
+
+
+def _tc_scalar(bs, tc3):
+    """tc0[cls][clip(bs-1, 0, 2)] for a scalar bs (scalar select)."""
+    return jnp.where(bs <= 1, tc3[0], jnp.where(bs == 2, tc3[1], tc3[2]))
+
+
+def _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3, bsv, alpha, beta, tcv):
+    """_filter_luma_edge (ops.deblock) in broadcast form. Returns the six
+    rewritten components (p2', p1', p0', q0', q1', q2')."""
+    on = (bsv > 0) & (jnp.abs(p0 - q0) < alpha) & \
+         (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    avg = (p0 + q0 + 1) >> 1
+    p1w = p1 + jnp.clip((p2 + avg - (p1 << 1)) >> 1, -tcv, tcv)
+    q1w = q1 + jnp.clip((q2 + avg - (q1 << 1)) >> 1, -tcv, tcv)
+    tc = tcv + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0w = jnp.clip(p0 + delta, 0, 255)
+    q0w = jnp.clip(q0 - delta, 0, 255)
+
+    sflag = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = sflag & ap
+    sq = sflag & aq
+    tp = p1 + p0 + q0
+    p0s = jnp.where(sp, (p2 + 2 * tp + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    p1s = jnp.where(sp, (p2 + tp + 2) >> 2, p1)
+    p2s = jnp.where(sp, (2 * p3 + 3 * p2 + tp + 4) >> 3, p2)
+    tq = p0 + q0 + q1
+    q0s = jnp.where(sq, (p1 + 2 * tq + q2 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    q1s = jnp.where(sq, (tq + q2 + 2) >> 2, q1)
+    q2s = jnp.where(sq, (2 * q3 + 3 * q2 + tq + 4) >> 3, q2)
+
+    strong = bsv == 4
+    sel = lambda s, w, old: jnp.where(on, jnp.where(strong, s, w), old)
+    return (sel(p2s, p2, p2), sel(p1s, jnp.where(ap, p1w, p1), p1),
+            sel(p0s, p0w, p0), sel(q0s, q0w, q0),
+            sel(q1s, jnp.where(aq, q1w, q1), q1), sel(q2s, q2, q2))
+
+
+def _chroma_filter(p0, p1, q0, q1, bsv, alpha, beta, tcv):
+    on = (bsv > 0) & (jnp.abs(p0 - q0) < alpha) & \
+         (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    tc = tcv + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0w = jnp.clip(p0 + delta, 0, 255)
+    q0w = jnp.clip(q0 - delta, 0, 255)
+    p0s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0s = (2 * q1 + q0 + p1 + 2) >> 2
+    strong = bsv == 4
+    new_p0 = jnp.where(on, jnp.where(strong, p0s, p0w), p0)
+    new_q0 = jnp.where(on, jnp.where(strong, q0s, q0w), q0)
+    return new_p0, new_q0
+
+
+def _deblock_kernel(meta_ref, y_in, cb_in, cr_in, y_out, cb_out, cr_out,
+                    sy, scb, scr, *, n_mbs, width_mbs, H, W):
+    Hc, Wc = H // 2, W // 2
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        sy[pl.ds(PT, H), pl.ds(PL, W)] = y_in[:]
+        scb[pl.ds(PT, Hc), pl.ds(PL, Wc)] = cb_in[:]
+        scr[pl.ds(PT, Hc), pl.ds(PL, Wc)] = cr_in[:]
+        # pads are never filtered (border bS is 0) but are read into
+        # supersets and rewritten verbatim
+
+    def mb_body(k, _):
+        i = step * DG + k
+        r = i // width_mbs
+        c = i % width_mbs
+
+        @pl.when((i < n_mbs) & (meta_ref[k, 62] != 0))
+        def _():
+            la = [meta_ref[k, 32 + j] for j in range(3)]
+            lb = [meta_ref[k, 35 + j] for j in range(3)]
+            ltc = [[meta_ref[k, 38 + 3 * cls + j] for j in range(3)]
+                   for cls in range(3)]
+            ca = [meta_ref[k, 47 + j] for j in range(3)]
+            cbta = [meta_ref[k, 50 + j] for j in range(3)]
+            ctc = [[meta_ref[k, 53 + 3 * cls + j] for j in range(3)]
+                   for cls in range(3)]
+
+            # ---- luma: aligned superset RMW ----
+            ly = pl.multiple_of(r * 16, 8)
+            lx = c * 16 + PL - 4
+            lxa = pl.multiple_of((lx // 128) * 128, 128)
+            d = lx - lxa
+            sup = sy[pl.ds(ly, 32), pl.ds(lxa, 256)].astype(jnp.int32)
+            sup = pltpu.roll(sup, -d, 1)
+            regs = sup[:, 0:32]
+            # region col j (frame col 16c-4+j) at lane j; frame row
+            # 16r-4+t at superset row 4+t; MB rows at 8..23
+
+            for e in range(4):                     # vertical edges
+                x = 4 + 4 * e
+                cls = 2 if e == 0 else 0
+                comps = [_lsh(regs, x - 4 + j)[8:24] for j in range(8)]
+                p3, p2, p1, p0, q0, q1, q2, q3 = comps
+                bs4 = [meta_ref[k, 4 * g + e] for g in range(4)]
+                bsv = _group_rows(bs4, 4)[:, :32][0:16]
+                tcv = _group_rows([_tc_scalar(b, ltc[cls]) for b in bs4],
+                                  4)[0:16]
+                np2, np1, np0, nq0, nq1, nq2 = _luma_filter(
+                    p0, p1, p2, p3, q0, q1, q2, q3, bsv, la[cls], lb[cls],
+                    tcv)
+                mid = regs[8:24]
+                for off, comp in ((x - 3, np2), (x - 2, np1), (x - 1, np0),
+                                  (x, nq0), (x + 1, nq1), (x + 2, nq2)):
+                    mid = jnp.where(_lane_mask(16, off), _rsh(comp, off),
+                                    mid)
+                regs = jnp.concatenate([regs[0:8], mid, regs[24:32]], 0)
+
+            for v in range(4):                     # horizontal edges
+                yy = 8 + 4 * v
+                cls = 1 if v == 0 else 0
+                rows = [regs[yy - 4 + j] for j in range(8)]
+                p3, p2, p1, p0, q0, q1, q2, q3 = [t[None, :] for t in rows]
+                bs4 = [meta_ref[k, 16 + 4 * v + g] for g in range(4)]
+                bsv = _group_lanes(bs4, 4, 1, 4)
+                tcv = _group_lanes([_tc_scalar(b, ltc[cls]) for b in bs4],
+                                   4, 1, 4)
+                np2, np1, np0, nq0, nq1, nq2 = _luma_filter(
+                    p0, p1, p2, p3, q0, q1, q2, q3, bsv, la[cls], lb[cls],
+                    tcv)
+                inside = _lane_range(1, 4, 20)
+                new = [jnp.where(inside, t, old[None, :]) for t, old in
+                       ((np2, rows[1]), (np1, rows[2]), (np0, rows[3]),
+                        (nq0, rows[4]), (nq1, rows[5]), (nq2, rows[6]))]
+                regs = jnp.concatenate(
+                    [regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
+
+            sup = jnp.concatenate([regs, sup[:, 32:]], axis=1)
+            sup = pltpu.roll(sup, d, 1)
+            sy[pl.ds(ly, 32), pl.ds(lxa, 256)] = sup.astype(jnp.uint8)
+
+            # ---- chroma ----
+            cy = pl.multiple_of(r * 8, 8)
+            cx = c * 8 + PL - 4
+            cxa = pl.multiple_of((cx // 128) * 128, 128)
+            dc = cx - cxa
+
+            def chroma(plane_ref):
+                supc = plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] \
+                    .astype(jnp.int32)
+                supc = pltpu.roll(supc, -dc, 1)
+                cregs = supc[:, 0:32]
+                # region col j at lane j; MB rows at 8..15
+
+                for e in range(2):                 # vertical edges
+                    x = 4 + 4 * e
+                    cls = 2 if e == 0 else 0
+                    p1 = _lsh(cregs, x - 2)[8:16]
+                    p0 = _lsh(cregs, x - 1)[8:16]
+                    q0 = _lsh(cregs, x)[8:16]
+                    q1 = _lsh(cregs, x + 1)[8:16]
+                    bs4 = [meta_ref[k, 4 * g + 2 * e] for g in range(4)]
+                    bsv = _group_rows(bs4, 2)[0:8]
+                    tcv = _group_rows(
+                        [_tc_scalar(b, ctc[cls]) for b in bs4], 2)[0:8]
+                    np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv,
+                                              ca[cls], cbta[cls], tcv)
+                    mid = cregs[8:16]
+                    for off, comp in ((x - 1, np0), (x, nq0)):
+                        mid = jnp.where(_lane_mask(8, off),
+                                        _rsh(comp, off), mid)
+                    cregs = jnp.concatenate([cregs[0:8], mid], 0)
+
+                for v in range(2):                 # horizontal edges
+                    yy = 8 + 4 * v
+                    cls = 1 if v == 0 else 0
+                    p1 = cregs[yy - 2][None, :]
+                    p0 = cregs[yy - 1][None, :]
+                    q0 = cregs[yy][None, :]
+                    q1 = cregs[yy + 1][None, :]
+                    bs4 = [meta_ref[k, 16 + 8 * v + g] for g in range(4)]
+                    bsv = _group_lanes(bs4, 2, 1, 4)
+                    tcv = _group_lanes(
+                        [_tc_scalar(b, ctc[cls]) for b in bs4], 2, 1, 4)
+                    np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv,
+                                              ca[cls], cbta[cls], tcv)
+                    inside = _lane_range(1, 4, 12)
+                    np0 = jnp.where(inside, np0, p0)
+                    nq0 = jnp.where(inside, nq0, q0)
+                    cregs = jnp.concatenate(
+                        [cregs[0:yy - 1], np0, nq0, cregs[yy + 1:16]], 0)
+
+                supc = jnp.concatenate([cregs, supc[:, 32:]], axis=1)
+                supc = pltpu.roll(supc, dc, 1)
+                plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] = \
+                    supc.astype(jnp.uint8)
+
+            chroma(scb)
+            chroma(scr)
+
+        return 0
+
+    lax.fori_loop(0, DG, mb_body, 0)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        y_out[:] = sy[pl.ds(PT, H), pl.ds(PL, W)]
+        cb_out[:] = scb[pl.ds(PT, Hc), pl.ds(PL, Wc)]
+        cr_out[:] = scr[pl.ds(PT, Hc), pl.ds(PL, Wc)]
+
+
+def build_meta(bs_left, bs_top, l_alpha, l_beta, l_tc0, c_alpha, c_beta,
+               c_tc0):
+    """Assemble the per-MB (nMB, 64) i32 meta rows (vectorized XLA)."""
+    n = bs_left.shape[0]
+    any_bs = ((bs_left.max(axis=1) > 0) | (bs_top.max(axis=1) > 0)) \
+        .astype(jnp.int32)
+    parts = [bs_left, bs_top, l_alpha, l_beta, l_tc0.reshape(n, 9),
+             c_alpha, c_beta, c_tc0.reshape(n, 9), any_bs[:, None],
+             jnp.zeros((n, 1), jnp.int32)]
+    return jnp.concatenate([p.astype(jnp.int32) for p in parts], axis=1)
+
+
+def deblock_frame_pallas(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
+                         disable_dblk, qp_y, filter_off_a, filter_off_b,
+                         chroma_qp_offset, width_mbs, height_mbs,
+                         interpret=False):
+    """Drop-in replacement for ops.deblock.deblock_frame on TPU."""
+    from .deblock import boundary_strengths, edge_thresholds
+
+    bs_left, bs_top = boundary_strengths(
+        mb_class.astype(jnp.int32), nnz.astype(jnp.int32),
+        mv.astype(jnp.int32), ref_slot.astype(jnp.int32),
+        slice_id.astype(jnp.int32), disable_dblk.astype(jnp.int32),
+        width_mbs, height_mbs)
+    l_alpha, l_beta, l_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        width_mbs, height_mbs, chroma=False)
+    c_alpha, c_beta, c_tc0 = edge_thresholds(
+        qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
+        width_mbs, height_mbs, chroma=True)
+    meta = build_meta(bs_left, bs_top, l_alpha, l_beta, l_tc0,
+                      c_alpha, c_beta, c_tc0)
+
+    n_mb = width_mbs * height_mbs
+    H, W = height_mbs * 16, width_mbs * 16
+    Hc, Wc = H // 2, W // 2
+    n_steps = max(1, -(-n_mb // DG))
+    meta = jnp.pad(meta, ((0, n_steps * DG - n_mb), (0, 0)))
+
+    # scratch planes: top pad PT, left pad PL, plus aligned-superset slack
+    hp = PT + H + 24
+    hp += (-hp) % 8
+    wp = _round128(PL + W - 4) + 256
+    hpc = PT + Hc + 8
+    hpc += (-hpc) % 8
+    wpc = _round128(PL + Wc - 4) + 256
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((DG, 64), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0)),
+            pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
+            pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((H, W), lambda i: (0, 0)),
+                   pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
+                   pl.BlockSpec((Hc, Wc), lambda i: (0, 0))],
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.uint8),
+                        pltpu.VMEM((hpc, wpc), jnp.uint8),
+                        pltpu.VMEM((hpc, wpc), jnp.uint8)],
+    )
+    out_y, out_cb, out_cr = pl.pallas_call(
+        partial(_deblock_kernel, n_mbs=n_mb, width_mbs=width_mbs, H=H, W=W),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.uint8),
+                   jax.ShapeDtypeStruct((Hc, Wc), jnp.uint8),
+                   jax.ShapeDtypeStruct((Hc, Wc), jnp.uint8)],
+        interpret=interpret,
+    )(meta, y, cb, cr)
+    return out_y, out_cb, out_cr

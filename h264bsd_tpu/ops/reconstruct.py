@@ -104,13 +104,15 @@ def build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data):
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
-                                   "intra_wavefront", "mc_pallas"))
+                                   "intra_wavefront", "mc_pallas",
+                                   "intra_pallas"))
 def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                            mv_exc_ids, mv_exc_payload, intra_mbs,
                            intra_payload, pcm_y, pcm_cb, pcm_cr,
                            dpb_y, dpb_cb, dpb_cr,
                            width_mbs, height_mbs, intra_wavefront=False,
-                           used_slots=None, mc_pallas=False):
+                           used_slots=None, mc_pallas=False,
+                           intra_pallas=False):
     """Transfer-optimized variant: unpack the single metadata buffer and the
     sparse residual stream on device, then run the same phase passes. The
     intra stage either iterates the (padded) intra-MB list (sparse intra,
@@ -171,7 +173,11 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                   t["mb_avail"].astype(jnp.int32),
                   t["i16_mode"].astype(jnp.int32),
                   t["chroma_mode"].astype(jnp.int32), res_l, res_c)
-    if intra_wavefront:
+    if intra_pallas:
+        from .pallas_intra import intra_pass_pallas
+        y, cb, cr = intra_pass_pallas(y, cb, cr, *intra_args,
+                                      width_mbs, height_mbs)
+    elif intra_wavefront:
         y, cb, cr = intra_pass_wavefront(y, cb, cr, *intra_args,
                                          width_mbs, height_mbs)
     else:

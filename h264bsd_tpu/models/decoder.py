@@ -310,14 +310,19 @@ class Decoder:
         def tier(length, tiers):
             return next(c for c in tiers if c >= length)
 
-        # powers-of-two tiers: transfer padding is wasted interconnect
-        # bandwidth, so tiers are tight; each new tier compiles once and
-        # lands in the persistent cache
-        cap = tier(n_sparse, tuple(2048 << i for i in range(8)) +
-                   (max(n_mbs * 26, 2048),))
+        # ~1.5x tier ladders: on tunneled TPUs the host->device pipe is the
+        # stream's bottleneck, so transfer padding directly costs fps (a
+        # power-of-two ladder wastes ~30% of the blob on typical 1080p
+        # frames). Each new tier combo compiles once and is then cached.
+        def ladder(base, steps):
+            out = []
+            for i in range(steps):
+                out += [base << i, (base << i) + (base << i >> 1)]
+            return tuple(out)
+
+        cap = tier(n_sparse, ladder(2048, 8) + (max(n_mbs * 26, 2048),))
         wcap = tier(n_wide, (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = tier(n_exc, tuple(256 << i for i in range(8)) +
-                    (max(n_mbs, 256),))
+        ecap = tier(n_exc, ladder(256, 8) + (max(n_mbs, 256),))
         scap = tier(n_slices, (32, max(n_mbs, 32)))
         # sparse intra (typical P frame) -> padded-list pass; intra-heavy
         # (I frames) -> anti-diagonal wavefront pass

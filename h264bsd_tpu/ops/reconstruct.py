@@ -122,20 +122,22 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
     referenced DPB slots must be listed in used_slots); otherwise the XLA
     gather path (ops.inter)."""
     from .intra import intra_pass_list, intra_pass_wavefront
-    from .unpack import densify_residual, unpack_meta
+    from .transform import residual_planes_sparse
+    from .unpack import unpack_meta
 
     n_mb = width_mbs * height_mbs
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
                     intra_mbs, intra_payload, n_mb)
-    coeff, luma_dc, chroma_dc = densify_residual(sparse_ids, sparse_levels,
-                                                 n_mb)
     mb_class = t["mb_class"].astype(jnp.int32)
 
-    res, _ = residual_transform(
-        coeff, luma_dc, chroma_dc, t["qp_y"].astype(jnp.int32),
-        t["chroma_qp_offset"].astype(jnp.int32), t["nnz"].astype(jnp.int32),
-        t["nnz_dc"].astype(jnp.int32), mb_class == 4)
-    res_l, res_c = mb_residual_planes(res)
+    # sparse-domain dequant+IDCT: only the non-empty blocks are
+    # transformed (a few percent of the frame) instead of a dense
+    # (nMB, 24, 16) pass
+    res_l, res_c = residual_planes_sparse(
+        sparse_ids.reshape(-1).astype(jnp.int32),
+        sparse_levels.astype(jnp.int32), t["qp_y"].astype(jnp.int32),
+        t["chroma_qp_offset"].astype(jnp.int32),
+        t["nnz_dc"].astype(jnp.int32), mb_class == 4, n_mb)
 
     if mc_pallas:
         from .pallas_mc import mc_predict_grids

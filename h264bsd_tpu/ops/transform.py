@@ -171,3 +171,73 @@ def mb_residual_planes(residual):
     chroma = residual[:, 16:].reshape(n_mb, 2, 2, 2, 4, 4)  # (pl, by, bx, y, x)
     chroma = chroma.transpose(0, 1, 2, 4, 3, 5).reshape(n_mb, 2, 8, 8)
     return luma, chroma
+
+
+def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
+                           chroma_qp_offset, nnz_dc, is_i16, n_mb):
+    """Sparse-domain ProcessResidual: dequant+IDCT only the non-empty
+    blocks (a few percent of the frame) instead of the dense
+    (nMB, 24, 16) array, then scatter pixel-domain residuals.
+
+    sparse_ids: (cap,) int32 block ids (mb*26 + b, b 0..23 AC / 24 luma
+    DC / 25 chroma DC; padding == nMB*26); sparse_levels: (cap, 16) int.
+    Returns (res_l (nMB,16,16), res_c (nMB,2,8,8)) int32, identical to
+    mb_residual_planes(residual_transform(...)[0]).
+
+    A block carrying only an (externally transformed) DC has the closed
+    form residual (dc + 32) >> 6 broadcast over the block (the reference's
+    DC-only fast path, transform.c:191-229 with a single coefficient), so
+    absent-from-stream blocks of Intra_16x16 MBs and chroma blocks get
+    their DC-only base vectorized per MB; sparse AC entries overwrite it.
+    """
+    cap = sparse_ids.shape[0]
+    chroma_qp = jnp.asarray(QP_C)[jnp.clip(qp_y + chroma_qp_offset, 0, 51)]
+
+    valid = sparse_ids < n_mb * 26
+    ids = jnp.minimum(sparse_ids, n_mb * 26 - 1)
+    mb = ids // 26
+    b = ids % 26
+
+    # dense DC arrays from the sparse DC entries (rows for AC entries and
+    # padding are dropped into the spare row)
+    ldc_raw = jnp.zeros((n_mb + 1, 16), jnp.int32).at[
+        jnp.where(valid & (b == 24), mb, n_mb)].set(
+        sparse_levels.astype(jnp.int32), mode="drop")[:n_mb]
+    cdc_raw = jnp.zeros((n_mb + 1, 16), jnp.int32).at[
+        jnp.where(valid & (b == 25), mb, n_mb)].set(
+        sparse_levels.astype(jnp.int32), mode="drop")[:n_mb, :8]
+
+    ldc = jnp.where((nnz_dc[:, 0] > 0)[:, None],
+                    luma_dc_transform(ldc_raw, qp_y), ldc_raw)
+    has_cdc = (nnz_dc[:, 1] > 0) | (nnz_dc[:, 2] > 0)
+    cdc = jnp.where(has_cdc[:, None],
+                    chroma_dc_transform(cdc_raw, chroma_qp), cdc_raw)
+
+    # per-entry dequant + DC injection + IDCT (AC entries only; DC
+    # entries compute garbage and are dropped by the scatter id below)
+    is_luma = b < 16
+    qp_e = jnp.where(is_luma, qp_y[mb], chroma_qp[mb])
+    scales = _dequant_scales(qp_e)                       # (cap, 16)
+    d = sparse_levels.astype(jnp.int32) * scales
+    luma_dc_val = jnp.take_along_axis(
+        ldc[mb], jnp.minimum(b, 15)[:, None], axis=1)[:, 0]
+    chroma_dc_val = jnp.take_along_axis(
+        cdc[mb], jnp.clip(b - 16, 0, 7)[:, None], axis=1)[:, 0]
+    inject = jnp.where(is_luma, is_i16[mb] != 0, True)
+    dc0 = jnp.where(is_luma, luma_dc_val, chroma_dc_val)
+    d = d.at[:, 0].set(jnp.where(inject, dc0, d[:, 0]))
+    res_e = idct4x4(d)                                   # (cap, 16)
+
+    # DC-only base per block, then overwrite with the sparse AC results
+    base_l = jnp.where(is_i16[:, None] != 0,
+                       (ldc + 32) >> 6, 0)               # (nMB, 16)
+    base_c = (cdc + 32) >> 6                             # (nMB, 8)
+    base = jnp.concatenate([base_l, base_c], axis=1)     # (nMB, 24)
+    residual = jnp.broadcast_to(base[:, :, None], (n_mb, 24, 16))
+    residual = jnp.concatenate(
+        [residual.reshape(n_mb * 24, 16),
+         jnp.zeros((1, 16), jnp.int32)], axis=0)
+    scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
+    residual = residual.at[scatter_id].set(res_e, mode="drop")
+    residual = residual[:n_mb * 24].reshape(n_mb, 24, 16)
+    return mb_residual_planes(residual)

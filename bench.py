@@ -11,6 +11,21 @@ import sys
 import time
 
 
+def enable_compile_cache() -> None:
+    """Persist jit compilations across bench runs (the decode step's
+    Pallas kernels take tens of seconds each to compile through the
+    tunneled remote-compile helper; the cache makes the verification
+    pass warm on repeat runs)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/h264tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def measure_reference_fps(stream: str, frames: int) -> float:
     import subprocess
     from h264bsd_tpu.utils.golden import reference_binary, stream_path
@@ -40,6 +55,7 @@ def warm_up_transfer() -> None:
 def main() -> None:
     stream = "1920x1080"
     n_frames = 73
+    enable_compile_cache()
     warm_up_transfer()
     ref_fps = measure_reference_fps(stream, n_frames)
 

@@ -65,8 +65,9 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     # concealment of lost MBs (mb_class 6). P-type loss copies the
     # co-located MB from the first available reference (ConcealMb
     # conceal.c:318-338 = zero-MV prediction); whole-picture I-type loss is
-    # a grey fill (conceal.c:172-199). Partial I-type neighbour synthesis
-    # is approximated by grey fill for now (error path only).
+    # a grey fill (conceal.c:172-199). Partial I-type loss never reaches
+    # this step: _submit routes it through the host-side exact spiral
+    # synthesis (ops.conceal + _deblock_store_step).
     width_mbs_, height_mbs_ = width_mbs, height_mbs
     mb_class = tensors["mb_class"].astype(jnp.int32)
     concealed = mb_class == 6

@@ -36,6 +36,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import lane_roll_narrow
+
 DG = 32        # MBs per grid step (SMEM meta chunk)
 PT = 8         # top padding rows (scratch)
 PL = 128       # left padding lanes (scratch)
@@ -175,9 +177,11 @@ def _deblock_kernel(meta_ref, y_in, cb_in, cr_in, y_out, cb_out, cr_out,
             lx = c * 16 + PL - 4
             lxa = pl.multiple_of((lx // 128) * 128, 128)
             d = lx - lxa
-            sup = sy[pl.ds(ly, 32), pl.ds(lxa, 256)].astype(jnp.int32)
-            sup = pltpu.roll(sup, -d, 1)
-            regs = sup[:, 0:32]
+            # lane rolls run on the u32-packed view of the u8 superset
+            # (lane_roll_narrow: 4x fewer vregs than widening first)
+            sup = sy[pl.ds(ly, 32), pl.ds(lxa, 256)]
+            sup = lane_roll_narrow(sup, -d)
+            regs = sup[:, 0:32].astype(jnp.int32)
             # region col j (frame col 16c-4+j) at lane j; frame row
             # 16r-4+t at superset row 4+t; MB rows at 8..23
 
@@ -219,9 +223,10 @@ def _deblock_kernel(meta_ref, y_in, cb_in, cr_in, y_out, cb_out, cr_out,
                 regs = jnp.concatenate(
                     [regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
 
-            sup = jnp.concatenate([regs, sup[:, 32:]], axis=1)
-            sup = pltpu.roll(sup, d, 1)
-            sy[pl.ds(ly, 32), pl.ds(lxa, 256)] = sup.astype(jnp.uint8)
+            sup = jnp.concatenate([regs.astype(jnp.uint8), sup[:, 32:]],
+                                  axis=1)
+            sup = lane_roll_narrow(sup, d)
+            sy[pl.ds(ly, 32), pl.ds(lxa, 256)] = sup
 
             # ---- chroma ----
             cy = pl.multiple_of(r * 8, 8)
@@ -230,10 +235,9 @@ def _deblock_kernel(meta_ref, y_in, cb_in, cr_in, y_out, cb_out, cr_out,
             dc = cx - cxa
 
             def chroma(plane_ref):
-                supc = plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] \
-                    .astype(jnp.int32)
-                supc = pltpu.roll(supc, -dc, 1)
-                cregs = supc[:, 0:32]
+                supc = plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)]
+                supc = lane_roll_narrow(supc, -dc)
+                cregs = supc[:, 0:32].astype(jnp.int32)
                 # region col j at lane j; MB rows at 8..15
 
                 for e in range(2):                 # vertical edges
@@ -274,10 +278,10 @@ def _deblock_kernel(meta_ref, y_in, cb_in, cr_in, y_out, cb_out, cr_out,
                     cregs = jnp.concatenate(
                         [cregs[0:yy - 1], np0, nq0, cregs[yy + 1:16]], 0)
 
-                supc = jnp.concatenate([cregs, supc[:, 32:]], axis=1)
-                supc = pltpu.roll(supc, dc, 1)
-                plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] = \
-                    supc.astype(jnp.uint8)
+                supc = jnp.concatenate([cregs.astype(jnp.uint8),
+                                        supc[:, 32:]], axis=1)
+                supc = lane_roll_narrow(supc, dc)
+                plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] = supc
 
             chroma(scb)
             chroma(scr)

@@ -32,6 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import lane_roll_narrow
+
 from .intra import BLOCK_X, BLOCK_Y, ZIG2RAS
 
 
@@ -266,12 +268,16 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
             # residuals: aligned lane superset from the transposed layouts
             rx = i * 16
             rxa = pl.multiple_of((rx // 128) * 128, 128)
-            res = rl_ref[:, pl.ds(rxa, 256)].astype(jnp.int32)
-            res = pltpu.roll(res, -(rx - rxa), 1)[:, 0:16]      # (16, 16)
+            # lane rolls run on the u32-packed view of the narrow data
+            # (lane_roll_narrow); the i32 cast happens on the sliced window
+            res = lane_roll_narrow(rl_ref[:, pl.ds(rxa, 256)],
+                                   -(rx - rxa))[:, 0:16] \
+                .astype(jnp.int32)                              # (16, 16)
             crx = i * 8
             crxa = pl.multiple_of((crx // 128) * 128, 128)
-            cres = rc_ref[:, pl.ds(crxa, 256)].astype(jnp.int32)
-            cres = pltpu.roll(cres, -(crx - crxa), 1)[:, 0:8]   # (16, 8)
+            cres = lane_roll_narrow(rc_ref[:, pl.ds(crxa, 256)],
+                                    -(crx - crxa))[:, 0:8] \
+                .astype(jnp.int32)                              # (16, 8)
 
             # ---- luma region RMW: rows [16r-8, 16r+15], region at
             # (7 + t, j): region row 0 = frame row 16r-1, col 0 = 16c-1
@@ -279,9 +285,9 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
             lx = c * 16 + PL - 1
             lxa = pl.multiple_of((lx // 128) * 128, 128)
             d = lx - lxa
-            sup = sy[pl.ds(ly, 24), pl.ds(lxa, 256)].astype(jnp.int32)
-            sup = pltpu.roll(sup, -d, 1)
-            regs = sup[:, 0:32]
+            sup = sy[pl.ds(ly, 24), pl.ds(lxa, 256)]
+            sup = lane_roll_narrow(sup, -d)
+            regs = sup[:, 0:32].astype(jnp.int32)
 
             def do_i4(regs):
                 for z in range(16):
@@ -324,9 +330,10 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
                 return jnp.concatenate([regs[0:8], mid], axis=0)
 
             regs = lax.cond(meta_ref[k, 1] != 0, do_i4, do_i16, regs)
-            sup = jnp.concatenate([regs, sup[:, 32:]], axis=1)
-            sup = pltpu.roll(sup, d, 1)
-            sy[pl.ds(ly, 24), pl.ds(lxa, 256)] = sup.astype(jnp.uint8)
+            sup = jnp.concatenate([regs.astype(jnp.uint8), sup[:, 32:]],
+                                  axis=1)
+            sup = lane_roll_narrow(sup, d)
+            sy[pl.ds(ly, 24), pl.ds(lxa, 256)] = sup
 
             # ---- chroma ----
             cy = pl.multiple_of(r * 8, 8)
@@ -335,10 +342,9 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
             dc_ = cx - cxa
 
             def chroma(plane_ref, resid):
-                supc = plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] \
-                    .astype(jnp.int32)
-                supc = pltpu.roll(supc, -dc_, 1)
-                cregs = supc[:, 0:16]
+                supc = plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)]
+                supc = lane_roll_narrow(supc, -dc_)
+                cregs = supc[:, 0:16].astype(jnp.int32)
                 above = cregs[7:8, 0:9]
                 left = cregs[8:16, 0:1]
                 pred = _predict_chroma(meta_ref[k, 3], above, left,
@@ -349,10 +355,10 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
                 mid = jnp.where(_lane_range(8, 16, 1, 9), out16,
                                 cregs[8:16])
                 cregs = jnp.concatenate([cregs[0:8], mid], axis=0)
-                supc = jnp.concatenate([cregs, supc[:, 16:]], axis=1)
-                supc = pltpu.roll(supc, dc_, 1)
-                plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] = \
-                    supc.astype(jnp.uint8)
+                supc = jnp.concatenate([cregs.astype(jnp.uint8),
+                                        supc[:, 16:]], axis=1)
+                supc = lane_roll_narrow(supc, dc_)
+                plane_ref[pl.ds(cy, 16), pl.ds(cxa, 256)] = supc
 
             chroma(scb, cres[0:8])
             chroma(scr, cres[8:16])

@@ -40,6 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import lane_roll_narrow
+
 PAD = 24      # luma edge padding (window span 23 + clamp slack)
 CPAD = 16     # chroma edge padding (window span 9)
 LWIN = 32     # luma window lane pitch (4 windows = 128 lanes)
@@ -58,13 +60,18 @@ def _round128(x):
 def _load_win(ref, r, y0, x0, rows, cols, tall):
     """Dynamic-offset window load. Mosaic requires dynamic offsets at
     (8, 128) granularity, so load the aligned (tall, 256) superset and
-    rotate the residuals away (dynamic rolls), then slice."""
+    rotate the residuals away (dynamic rolls), then slice. The lane roll
+    runs on the u32-packed view of the u8 superset (lane_roll_narrow —
+    4x fewer vregs than widening first; window loads dominate the
+    kernel's cycle count) and the sublane roll on the narrow sliced
+    window."""
     y0a = pl.multiple_of((y0 // 8) * 8, 8)
     x0a = pl.multiple_of((x0 // 128) * 128, 128)
-    w = ref[r, pl.ds(y0a, tall), pl.ds(x0a, 256)].astype(jnp.int32)
+    w = ref[r, pl.ds(y0a, tall), pl.ds(x0a, 256)]
+    w = lane_roll_narrow(w, -(x0 - x0a))
+    w = w[:, 0:cols].astype(jnp.int32)
     w = pltpu.roll(w, -(y0 - y0a), 0)
-    w = pltpu.roll(w, -(x0 - x0a), 1)
-    return w[0:rows, 0:cols]
+    return w[0:rows, :]
 
 
 def _lshift(x, k):

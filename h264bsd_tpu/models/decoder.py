@@ -22,6 +22,7 @@ import numpy as np
 from ..frontend import binding as fe
 from ..ops.deblock import deblock_frame
 from ..ops.pallas_deblock import deblock_frame_pallas
+from ..ops.pallas_deblock_wf import deblock_frame_wavefront
 from ..ops.reconstruct import (build_pcm_tensors, reconstruct_frame,
                                reconstruct_frame_fast)
 from ..utils import golden
@@ -91,7 +92,13 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     y, cb, cr = jax.lax.cond(concealed.any(), apply_conceal,
                              lambda p: p, (y, cb, cr))
 
-    dblk = deblock_frame_pallas if deblock_pallas else deblock_frame
+    if deblock_pallas:
+        # intra-heavy frames have every edge active: the wavefront-batched
+        # kernel wins there; P frames keep the raster kernel's per-MB skip
+        dblk = deblock_frame_wavefront if intra_wavefront \
+            else deblock_frame_pallas
+    else:
+        dblk = deblock_frame
     y, cb, cr = dblk(
         y, cb, cr, tensors["mb_class"], tensors["nnz"], tensors["mv"],
         tensors["ref_slot"], tensors["slice_id"], tensors["disable_dblk"],

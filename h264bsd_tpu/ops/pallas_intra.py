@@ -229,8 +229,7 @@ def _predict_chroma(mode, above, left, avail):
 
 
 def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
-                  y_out, cb_out, cr_out, sy, scb, scr, sems, *,
-                  n_mbs, width_mbs, H, W):
+                  y_out, cb_out, cr_out, sy, scb, scr, sems, *, H, W):
     Hc, Wc = H // 2, W // 2
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -257,11 +256,11 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
                 jnp.broadcast_to(rcol, (h_ + 1, 8))
 
     def mb_body(k, _):
-        i = step * DG + k
-        r = i // width_mbs
-        c = i % width_mbs
+        i = meta_ref[k, 37]
+        r = meta_ref[k, 38]
+        c = meta_ref[k, 39]
 
-        @pl.when((i < n_mbs) & (meta_ref[k, 0] != 0))
+        @pl.when(meta_ref[k, 0] != 0)
         def _():
             mb_avail = meta_ref[k, 4]
 
@@ -380,9 +379,17 @@ def _intra_kernel(meta_ref, y_in, cb_in, cr_in, rl_ref, rc_ref,
 def intra_pass_pallas(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
                       i4_avail, mb_avail, i16_mode, chroma_mode,
                       resid_luma, resid_chroma, width_mbs, height_mbs,
-                      interpret=False):
+                      interpret=False, intra_ids=None):
     """Drop-in replacement for ops.intra.intra_pass / intra_pass_wavefront
-    on TPU (same argument convention as intra_pass plus height_mbs)."""
+    on TPU (same argument convention as intra_pass plus height_mbs).
+
+    With intra_ids (the front-end's sparse intra-MB list in decode
+    order, padded with ids >= nMB) the kernel's sequential walk covers
+    only those entries instead of the whole MB grid — on P frames the
+    list is a few dozen MBs, cutting the pass to a handful of grid
+    steps. Decode order respects every intra dependency (neighbours
+    precede an MB in decode order whenever they are marked available).
+    """
     n_mb = mb_class.shape[0]
     H, W = height_mbs * 16, width_mbs * 16
     Hc, Wc = H // 2, W // 2
@@ -393,10 +400,21 @@ def intra_pass_pallas(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
         i16_mode.astype(jnp.int32)[:, None],
         chroma_mode.astype(jnp.int32)[:, None],
         mb_avail.astype(jnp.int32)[:, None],
-        i4_modes.astype(jnp.int32), i4_avail.astype(jnp.int32),
-        jnp.zeros((n_mb, 3), jnp.int32)], axis=1)
-    n_steps = max(1, -(-n_mb // DG))
-    meta = jnp.pad(meta, ((0, n_steps * DG - n_mb), (0, 0)))
+        i4_modes.astype(jnp.int32), i4_avail.astype(jnp.int32)], axis=1)
+    if intra_ids is None:
+        ids = jnp.arange(n_mb, dtype=jnp.int32)
+        rows = meta
+    else:
+        ids = jnp.minimum(intra_ids.astype(jnp.int32), n_mb)
+        rows = jnp.concatenate([meta, jnp.zeros((1, 37), jnp.int32)])[ids]
+        rows = jnp.where((ids < n_mb)[:, None], rows, 0)
+        ids = jnp.minimum(ids, n_mb - 1)
+    meta = jnp.concatenate(
+        [rows, ids[:, None], (ids // width_mbs)[:, None],
+         (ids % width_mbs)[:, None]], axis=1)
+    n_entries = meta.shape[0]
+    n_steps = max(1, -(-n_entries // DG))
+    meta = jnp.pad(meta, ((0, n_steps * DG - n_entries), (0, 0)))
 
     # transposed residual layouts: luma (16, nMB*16), chroma (16, nMB*8)
     # (cb rows 0-7, cr rows 8-15), padded so lane supersets stay in bounds
@@ -438,7 +456,7 @@ def intra_pass_pallas(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
                         pltpu.SemaphoreType.DMA((1,))],
     )
     out_y, out_cb, out_cr = pl.pallas_call(
-        partial(_intra_kernel, n_mbs=n_mb, width_mbs=width_mbs, H=H, W=W),
+        partial(_intra_kernel, H=H, W=W),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((H, W), jnp.uint8),
                    jax.ShapeDtypeStruct((Hc, Wc), jnp.uint8),

@@ -172,23 +172,35 @@ def _scalar_lane_map(vals, rows, pitch):
 # ---------------------------------------------------------------------------
 
 def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
+    """Two 4-MB groups are row-stacked (windows at row strides 0 and 21)
+    so the 16-case filter math runs once per 8 MBs: outputs land at rows
+    0..15 and 21..36 of the 37-row case tensors; rows 16..20 straddle the
+    window boundary and are never selected."""
     base = pl.program_id(0) * GU
 
-    def group(g, _):
-        wins, fr = [], []
+    def pair(g2, _):
         zpad = jnp.zeros((21, LWIN - 24), jnp.int32)
-        for wslot in range(LGRP):
-            m = jnp.minimum(base + g * LGRP + wslot, n_mbs - 1) - base
-            fr.append(meta_ref[m, 2])
-            wins.extend([_load_win(refs_ref, meta_ref[m, 3], meta_ref[m, 0],
-                                   meta_ref[m, 1], 21, 24, 32), zpad])
-        pk = jnp.concatenate(wins, axis=1)
-        sel = _scalar_lane_map(fr, 16, LWIN)
-        res = _clip8(_select_cases(_luma_cases(pk, 16), sel))
-        out_ref[pl.ds(g * 16, 16), :] = res.astype(jnp.uint8)
+        stack, fr = [], []
+        for half in range(2):
+            wins = []
+            for wslot in range(LGRP):
+                m = jnp.minimum(base + (2 * g2 + half) * LGRP + wslot,
+                                n_mbs - 1) - base
+                fr.append(meta_ref[m, 2])
+                wins.extend([_load_win(refs_ref, meta_ref[m, 3],
+                                       meta_ref[m, 0], meta_ref[m, 1],
+                                       21, 24, 32), zpad])
+            stack.append(jnp.concatenate(wins, axis=1))
+        pk = jnp.concatenate(stack, axis=0)              # (42, 128)
+        sel = jnp.concatenate(
+            [_scalar_lane_map(fr[0:LGRP], 21, LWIN),
+             _scalar_lane_map(fr[LGRP:], 16, LWIN)], axis=0)
+        res = _clip8(_select_cases(_luma_cases(pk, 37), sel))
+        out_ref[pl.ds(g2 * 32, 16), :] = res[0:16].astype(jnp.uint8)
+        out_ref[pl.ds(g2 * 32 + 16, 16), :] = res[21:37].astype(jnp.uint8)
         return 0
 
-    lax.fori_loop(0, GU // LGRP, group, 0, unroll=True)
+    lax.fori_loop(0, GU // (2 * LGRP), pair, 0, unroll=True)
 
 
 def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,

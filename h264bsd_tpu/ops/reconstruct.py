@@ -177,8 +177,13 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                   t["chroma_mode"].astype(jnp.int32), res_l, res_c)
     if intra_pallas:
         from .pallas_intra import intra_pass_pallas
-        y, cb, cr = intra_pass_pallas(y, cb, cr, *intra_args,
-                                      width_mbs, height_mbs)
+        # the sparse intra-MB list bounds the kernel's sequential walk
+        # (dense raster walk only for intra-heavy frames, where the list
+        # covers the grid anyway)
+        y, cb, cr = intra_pass_pallas(
+            y, cb, cr, *intra_args, width_mbs, height_mbs,
+            intra_ids=None if intra_wavefront
+            else intra_mbs.reshape(-1).astype(jnp.int32))
     elif intra_wavefront:
         y, cb, cr = intra_pass_wavefront(y, cb, cr, *intra_args,
                                          width_mbs, height_mbs)

@@ -64,3 +64,16 @@ def test_intra_parity_interpret(seed):
                             interpret=True)
     for w, g, name in zip(want, got, "y cb cr".split()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w), name)
+
+    # list-driven mode: the sparse intra-MB id list (ascending = decode
+    # order here) must reproduce the dense walk exactly, including the
+    # padded tail entries
+    ids = np.flatnonzero((mb_class == 3) | (mb_class == 4)).astype(np.int32)
+    ids = np.concatenate([ids, np.full(5, n, np.int32)])     # padding
+    got_list = intra_pass_pallas(jnp.asarray(y), jnp.asarray(cb),
+                                 jnp.asarray(cr), *args, w_mbs, h_mbs,
+                                 interpret=True,
+                                 intra_ids=jnp.asarray(ids))
+    for w, g, name in zip(want, got_list, "y cb cr".split()):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      "list " + name)

@@ -94,6 +94,12 @@ def _wavefront_layout(width_mbs, height_mbs):
     sm[:, 0:G] = rr.reshape(n_groups, G)
     sm[:, G:2 * G] = cc.reshape(n_groups, G)
     sm[:, 2 * G:3 * G] = valid.reshape(n_groups, G)
+    # geometric slot-0 coordinates (cols 13/14), NOT zeroed for invalid
+    # slots: the sheared kernel addresses the whole group from them.
+    # Any group with >= 1 valid slot has -6 <= c0 <= wm+5.
+    r_g = np.broadcast_to(np.arange(hm_pad)[None, ::G], (n_wf, hm_pad // G))
+    sm[:, 13] = r_g.reshape(-1)
+    sm[:, 14] = (w - 2 * r_g).reshape(-1)
     return hm_pad, n_wf, sm
 
 
@@ -124,6 +130,67 @@ def _expand_rows(cm, base, n_edges, rep, rows):
                  for g in range(n_g)]
         out.append(jnp.concatenate(parts, axis=0))
     return out
+
+
+def _filter_luma_group(regs, vm, hm):
+    """All 8 luma edges of a 4-slot (32, 128) group tile."""
+    vmaps = _expand_rows(vm, 0, 4, 4, 16)
+    for e in range(4):                     # vertical edges
+        x = 4 + 4 * e
+        bsv, beta, tcv, alpha = _unpack(vmaps[e])
+        comps = [_lsh(regs, x - 4 + j)[8:24] for j in range(8)]
+        p3, p2, p1, p0, q0, q1, q2, q3 = comps
+        outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
+                            bsv, alpha, beta, tcv)
+        mid = regs[8:24]
+        for off, comp in zip((x - 3, x - 2, x - 1, x, x + 1, x + 2), outs):
+            mid = jnp.where(_mask_mod(16, off, 32), _rsh(comp, off), mid)
+        regs = jnp.concatenate([regs[0:8], mid, regs[24:32]], 0)
+
+    for v in range(4):                     # horizontal edges
+        yy = 8 + 4 * v
+        bsv, beta, tcv, alpha = _unpack(hm[v:v + 1])
+        rows = [regs[yy - 4 + j] for j in range(8)]
+        p3, p2, p1, p0, q0, q1, q2, q3 = [t[None, :] for t in rows]
+        outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
+                            bsv, alpha, beta, tcv)
+        inside = _range_mod(1, 4, 20, 32)
+        new = [jnp.where(inside, t, old[None, :])
+               for t, old in zip(outs, rows[1:7])]
+        regs = jnp.concatenate([regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
+    return regs
+
+
+def _filter_chroma_group(cregs, vm, hm):
+    """All 4 chroma edges of a 4-slot (16, 128) cb|cr group tile."""
+    cvmaps = _expand_rows(vm, 16, 2, 2, 8)
+    for e in range(2):                     # vertical edges
+        x = 4 + 4 * e
+        bsv, beta, tcv, alpha = _unpack(cvmaps[e])
+        p1 = _lsh(cregs, x - 2)[8:16]
+        p0 = _lsh(cregs, x - 1)[8:16]
+        q0 = _lsh(cregs, x)[8:16]
+        q1 = _lsh(cregs, x + 1)[8:16]
+        np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv, alpha, beta, tcv)
+        mid = cregs[8:16]
+        for off, comp in ((x - 1, np0), (x, nq0)):
+            mid = jnp.where(_mask_mod(8, off, 16), _rsh(comp, off), mid)
+        cregs = jnp.concatenate([cregs[0:8], mid], 0)
+
+    for v in range(2):                     # horizontal edges
+        yy = 8 + 4 * v
+        bsv, beta, tcv, alpha = _unpack(hm[4 + v:5 + v])
+        p1 = cregs[yy - 2][None, :]
+        p0 = cregs[yy - 1][None, :]
+        q0 = cregs[yy][None, :]
+        q1 = cregs[yy + 1][None, :]
+        np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv, alpha, beta, tcv)
+        inside = _range_mod(1, 4, 12, 16)
+        np0 = jnp.where(inside, np0, p0)
+        nq0 = jnp.where(inside, nq0, q0)
+        cregs = jnp.concatenate(
+            [cregs[0:yy - 1], np0, nq0, cregs[yy + 1:16]], 0)
+    return cregs
 
 
 def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
@@ -160,33 +227,7 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             regs = jnp.concatenate(parts, axis=1).astype(jnp.int32)
             # slot m lane j = frame col 16*c_m - 4 + j; rows 8..23 = MB rows
 
-            vmaps = _expand_rows(vm, 0, 4, 4, 16)
-            for e in range(4):                     # vertical edges
-                x = 4 + 4 * e
-                bsv, beta, tcv, alpha = _unpack(vmaps[e])
-                comps = [_lsh(regs, x - 4 + j)[8:24] for j in range(8)]
-                p3, p2, p1, p0, q0, q1, q2, q3 = comps
-                outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
-                                    bsv, alpha, beta, tcv)
-                mid = regs[8:24]
-                for off, comp in zip((x - 3, x - 2, x - 1, x, x + 1, x + 2),
-                                     outs):
-                    mid = jnp.where(_mask_mod(16, off, 32),
-                                    _rsh(comp, off), mid)
-                regs = jnp.concatenate([regs[0:8], mid, regs[24:32]], 0)
-
-            for v in range(4):                     # horizontal edges
-                yy = 8 + 4 * v
-                bsv, beta, tcv, alpha = _unpack(hm[v:v + 1])
-                rows = [regs[yy - 4 + j] for j in range(8)]
-                p3, p2, p1, p0, q0, q1, q2, q3 = [t[None, :] for t in rows]
-                outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
-                                    bsv, alpha, beta, tcv)
-                inside = _range_mod(1, 4, 20, 32)
-                new = [jnp.where(inside, t, old[None, :])
-                       for t, old in zip(outs, rows[1:7])]
-                regs = jnp.concatenate(
-                    [regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
+            regs = _filter_luma_group(regs, vm, hm)
 
             regs8 = regs.astype(jnp.uint8)
             for m in range(G):                     # sequential RMW stores
@@ -214,36 +255,7 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
             # half lane j = frame chroma col 8*c_m - 4 + j; rows 8..15 = MB
 
-            cvmaps = _expand_rows(vm, 16, 2, 2, 8)
-            for e in range(2):                     # vertical edges
-                x = 4 + 4 * e
-                bsv, beta, tcv, alpha = _unpack(cvmaps[e])
-                p1 = _lsh(cregs, x - 2)[8:16]
-                p0 = _lsh(cregs, x - 1)[8:16]
-                q0 = _lsh(cregs, x)[8:16]
-                q1 = _lsh(cregs, x + 1)[8:16]
-                np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv, alpha, beta,
-                                          tcv)
-                mid = cregs[8:16]
-                for off, comp in ((x - 1, np0), (x, nq0)):
-                    mid = jnp.where(_mask_mod(8, off, 16),
-                                    _rsh(comp, off), mid)
-                cregs = jnp.concatenate([cregs[0:8], mid], 0)
-
-            for v in range(2):                     # horizontal edges
-                yy = 8 + 4 * v
-                bsv, beta, tcv, alpha = _unpack(hm[4 + v:5 + v])
-                p1 = cregs[yy - 2][None, :]
-                p0 = cregs[yy - 1][None, :]
-                q0 = cregs[yy][None, :]
-                q1 = cregs[yy + 1][None, :]
-                np0, nq0 = _chroma_filter(p0, p1, q0, q1, bsv, alpha, beta,
-                                          tcv)
-                inside = _range_mod(1, 4, 12, 16)
-                np0 = jnp.where(inside, np0, p0)
-                nq0 = jnp.where(inside, nq0, q0)
-                cregs = jnp.concatenate(
-                    [cregs[0:yy - 1], np0, nq0, cregs[yy + 1:16]], 0)
+            cregs = _filter_chroma_group(cregs, vm, hm)
 
             cregs8 = cregs.astype(jnp.uint8)
             for m in range(G):
@@ -268,6 +280,136 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
         y_out[:] = sy[pl.ds(PT, H), pl.ds(PL, W)]
         cb_out[:] = scb[pl.ds(PT, Hc), pl.ds(PL, Wc)]
         cr_out[:] = scr[pl.ds(PT, Hc), pl.ds(PL, Wc)]
+
+
+PLS = 192      # sheared-scratch left pad (>= 132 for c0 >= -6 groups)
+
+
+def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
+                     y_out, cb_out, cr_out, sy, scb, scr, *,
+                     H, W, hm, n_wf):
+    """Sheared-layout variant: the scratch stores each 16-pel row band b
+    shifted right by 32b (chroma: 8-row bands by 16b), which makes a
+    wavefront group's four slots share one column: slot m = MB
+    (r0+m, c0-2m) has 16(c0-2m) + 32(r0+m) = 16c0 + 32r0 for every m.
+    The whole group's supersets then live in ONE (80, 96)-ish window
+    (slot pieces at fixed lane offsets: rows-above at 0..32, own band at
+    32..64, rows-below at 64..96), so a group costs one load and one
+    read-modify-write store instead of 12 + 12. Out-of-frame slots land
+    in dead cells (each scratch row only holds its own band's columns),
+    so invalid/padded slots need no masking."""
+    Hc, Wc = H // 2, W // 2
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        for b in range(hm):
+            sy[pl.ds(PT + 16 * b, 16), pl.ds(PLS + 32 * b, W)] = \
+                y_in[pl.ds(16 * b, 16), :]
+            scb[pl.ds(PT + 8 * b, 8), pl.ds(PLS + 16 * b, Wc)] = \
+                cb_in[pl.ds(8 * b, 8), :]
+            scr[pl.ds(PT + 8 * b, 8), pl.ds(PLS + 16 * b, Wc)] = \
+                cr_in[pl.ds(8 * b, 8), :]
+
+    def group_body(k, _):
+        @pl.when(smeta_ref[k, 12] != 0)
+        def _():
+            r0 = smeta_ref[k, 13]
+            c0 = smeta_ref[k, 14]
+            vm = vm_ref[k]                     # (24, 128) V packed params
+            hm_ = hm_ref[k]                    # (6, 128) H packed params
+
+            # ---- luma ----
+            # Mosaic requires matching lane offsets on non-concat dims, so
+            # every piece is first rotated to lane offset 0 (cheap static
+            # rolls on the u32-packed view) before assembly.
+            ly = pl.multiple_of(r0 * 16, 8)
+            lbase = c0 * 16 + r0 * 32 + PLS - 36
+            lba = pl.multiple_of((lbase // 128) * 128, 128)
+            d = lbase - lba
+            L = lane_roll_narrow(sy[pl.ds(ly, 80), pl.ds(lba, 256)], -d)
+            L32 = lane_roll_narrow(L, -32)
+            L64 = lane_roll_narrow(L, -64)
+            parts = []
+            for m in range(G):
+                parts.append(jnp.concatenate(
+                    [L[16 * m:16 * m + 8, 0:32],
+                     L32[16 * m + 8:16 * m + 24, 0:32],
+                     L64[16 * m + 24:16 * m + 32, 0:32]], axis=0))
+            regs = jnp.concatenate(parts, axis=1).astype(jnp.int32)
+
+            regs = _filter_luma_group(regs, vm, hm_)
+
+            regs8 = regs.astype(jnp.uint8)
+            R = [lane_roll_narrow(regs8, -32 * m)[:, 0:32] if m else
+                 regs8[:, 0:32] for m in range(G)]
+            Lf = lane_roll_narrow(sy[pl.ds(ly, 80), pl.ds(lba, 256)], -d)
+            LfA = Lf[:, 0:32]
+            LfB = lane_roll_narrow(Lf, -32)[:, 0:32]
+            LfC = lane_roll_narrow(Lf, -64)[:, 0:32]
+            colA = jnp.concatenate(
+                [R[0][0:8], LfA[8:16], R[1][0:8], LfA[24:32],
+                 R[2][0:8], LfA[40:48], R[3][0:8], LfA[56:64],
+                 LfA[64:80]], axis=0)
+            colB = jnp.concatenate(
+                [LfB[0:8], R[0][8:24], R[1][8:24], R[2][8:24], R[3][8:24],
+                 LfB[72:80]], axis=0)
+            colC = jnp.concatenate(
+                [LfC[0:24], R[0][24:32], LfC[32:40], R[1][24:32],
+                 LfC[48:56], R[2][24:32], LfC[64:72], R[3][24:32]], axis=0)
+            upd = jnp.concatenate([colA, colB, colC, Lf[:, 96:256]], axis=1)
+            sy[pl.ds(ly, 80), pl.ds(lba, 256)] = lane_roll_narrow(upd, d)
+
+            # ---- chroma: one load/store per plane, cb|cr slot halves ----
+            cy = pl.multiple_of(r0 * 8, 8)
+            cbase = c0 * 8 + r0 * 16 + PLS - 20
+            cba = pl.multiple_of((cbase // 128) * 128, 128)
+            dc = cbase - cba
+            Lc = [lane_roll_narrow(ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
+                  for ref in (scb, scr)]
+            Lc16 = [lane_roll_narrow(Lp, -16) for Lp in Lc]
+            cparts = []
+            for m in range(G):
+                for Lp, Lp16 in zip(Lc, Lc16):
+                    cparts.append(jnp.concatenate(
+                        [Lp[8 * m:8 * m + 8, 0:16],
+                         Lp16[8 * m + 8:8 * m + 16, 0:16]], axis=0))
+            cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
+
+            cregs = _filter_chroma_group(cregs, vm, hm_)
+
+            cregs8 = cregs.astype(jnp.uint8)
+            for pi, ref in enumerate((scb, scr)):
+                Cm = [lane_roll_narrow(cregs8, -(32 * m + 16 * pi))[:, 0:16]
+                      if (32 * m + 16 * pi) else cregs8[:, 0:16]
+                      for m in range(G)]
+                Lf = lane_roll_narrow(
+                    ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
+                LfB = lane_roll_narrow(Lf, -16)[:, 0:16]
+                colA = jnp.concatenate(
+                    [Cm[0][0:8], Cm[1][0:8], Cm[2][0:8], Cm[3][0:8],
+                     Lf[32:40, 0:16]], axis=0)
+                colB = jnp.concatenate(
+                    [LfB[0:8], Cm[0][8:16], Cm[1][8:16], Cm[2][8:16],
+                     Cm[3][8:16]], axis=0)
+                upd = jnp.concatenate([colA, colB, Lf[:, 32:256]], axis=1)
+                ref[pl.ds(cy, 40), pl.ds(cba, 256)] = \
+                    lane_roll_narrow(upd, dc)
+
+        return 0
+
+    lax.fori_loop(0, GC, group_body, 0)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        for b in range(hm):
+            y_out[pl.ds(16 * b, 16), :] = \
+                sy[pl.ds(PT + 16 * b, 16), pl.ds(PLS + 32 * b, W)]
+            cb_out[pl.ds(8 * b, 8), :] = \
+                scb[pl.ds(PT + 8 * b, 8), pl.ds(PLS + 16 * b, Wc)]
+            cr_out[pl.ds(8 * b, 8), :] = \
+                scr[pl.ds(PT + 8 * b, 8), pl.ds(PLS + 16 * b, Wc)]
 
 
 def _pack(alpha, tc, beta, bs):
@@ -346,7 +488,7 @@ def _wavefront_arrange(arr, width_mbs, height_mbs, hm_pad):
 def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
                             slice_id, disable_dblk, qp_y, filter_off_a,
                             filter_off_b, chroma_qp_offset, width_mbs,
-                            height_mbs, interpret=False):
+                            height_mbs, interpret=False, shear=True):
     """Drop-in replacement for ops.deblock.deblock_frame on TPU."""
     from .deblock import boundary_strengths, edge_thresholds
     from .pallas_deblock import deblock_frame_pallas
@@ -398,12 +540,23 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
 
     H, W = height_mbs * 16, width_mbs * 16
     Hc, Wc = H // 2, W // 2
-    hp = PT + H + 24
-    hp += (-hp) % 8
-    wp = _round128(PL + W - 4) + 256
-    hpc = PT + Hc + 8
-    hpc += (-hpc) % 8
-    wpc = _round128(PL + Wc - 4) + 256
+    if shear:
+        hp = 16 * hm_pad + 24
+        wp = _round128(PLS + 16 * (width_mbs + 5)
+                       + 32 * (hm_pad - 4)) + 384
+        hpc = 8 * hm_pad + 16
+        wpc = _round128(PLS + 8 * (width_mbs + 5)
+                        + 16 * (hm_pad - 4)) + 384
+        kern = partial(_wf_shear_kernel, H=H, W=W, hm=height_mbs,
+                       n_wf=n_wf)
+    else:
+        hp = PT + H + 24
+        hp += (-hp) % 8
+        wp = _round128(PL + W - 4) + 256
+        hpc = PT + Hc + 8
+        hpc += (-hpc) % 8
+        wpc = _round128(PL + Wc - 4) + 256
+        kern = partial(_wf_kernel, H=H, W=W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -425,11 +578,12 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
                         pltpu.VMEM((hpc, wpc), jnp.uint8)],
     )
     out_y, out_cb, out_cr = pl.pallas_call(
-        partial(_wf_kernel, H=H, W=W),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((H, W), jnp.uint8),
                    jax.ShapeDtypeStruct((Hc, Wc), jnp.uint8),
                    jax.ShapeDtypeStruct((Hc, Wc), jnp.uint8)],
         interpret=interpret,
+        input_output_aliases={3: 0, 4: 1, 5: 2},
     )(smeta, vmap_, hmap, y, cb, cr)
     return out_y, out_cb, out_cr

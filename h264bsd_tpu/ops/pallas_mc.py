@@ -240,31 +240,40 @@ def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
     lax.fori_loop(0, GU // CGRP, group, 0, unroll=True)
 
 
-def _exc_luma_kernel(meta_ref, refs_ref, out_ref, *, n_blocks):
+def _exc_luma_kernel(nreal_ref, meta_ref, refs_ref, out_ref, *, n_blocks):
     base = pl.program_id(0) * GEL
 
     def group(g, _):
-        wins, fr = [], []
-        for wslot in range(CGRP):
-            m = jnp.minimum(base + g * CGRP + wslot, n_blocks - 1) - base
-            fr.append(meta_ref[m, 2])
-            wins.append(_load_win(refs_ref, meta_ref[m, 3], meta_ref[m, 0],
-                                  meta_ref[m, 1], 9, 16, 16))
-        pk = jnp.concatenate(wins, axis=1)
-        sel = _scalar_lane_map(fr, 4, CWIN)
-        res = _clip8(_select_cases(_luma_cases(pk, 4), sel))
-        out_ref[pl.ds(g * 4, 4), :] = res.astype(jnp.uint8)
+        @pl.when(base + g * CGRP < nreal_ref[0])
+        def _():
+            wins, fr = [], []
+            for wslot in range(CGRP):
+                m = jnp.minimum(base + g * CGRP + wslot, n_blocks - 1) - base
+                fr.append(meta_ref[m, 2])
+                wins.append(_load_win(refs_ref, meta_ref[m, 3],
+                                      meta_ref[m, 0], meta_ref[m, 1],
+                                      9, 16, 16))
+            pk = jnp.concatenate(wins, axis=1)
+            sel = _scalar_lane_map(fr, 4, CWIN)
+            res = _clip8(_select_cases(_luma_cases(pk, 4), sel))
+            out_ref[pl.ds(g * 4, 4), :] = res.astype(jnp.uint8)
         return 0
 
     lax.fori_loop(0, GEL // CGRP, group, 0, unroll=True)
 
 
-def _exc_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
-                       n_blocks):
+def _exc_chroma_kernel(nreal_ref, meta_ref, rcb_ref, rcr_ref, ocb_ref,
+                       ocr_ref, *, n_blocks):
     base = pl.program_id(0) * GEC
     NW = 16
 
     def group(g, _):
+        @pl.when(base + g * NW < nreal_ref[0])
+        def _():
+            _group_body(g)
+        return 0
+
+    def _group_body(g):
         winsb, winsr, xf, yf = [], [], [], []
         for wslot in range(NW):
             m = jnp.minimum(base + g * NW + wslot, n_blocks - 1) - base
@@ -291,7 +300,6 @@ def _exc_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
 
         ocb_ref[pl.ds(g * 2, 2), :] = bilinear(pkb)
         ocr_ref[pl.ds(g * 2, 2), :] = bilinear(pkr)
-        return 0
 
     lax.fori_loop(0, GEC // NW, group, 0, unroll=True)
 
@@ -319,12 +327,20 @@ def _ref_index(base_slot, used_slots):
 
 
 def _run(kernel, meta, refs, n_out_specs, out_rows, block_mbs,
-         interpret):
+         interpret, nreal=None):
     steps = meta.shape[0] // block_mbs
     mcols = meta.shape[1]
-    specs = [pl.BlockSpec((block_mbs, mcols), lambda i: (i, 0),
-                          memory_space=pltpu.SMEM)]
+    specs = []
+    args = []
+    if nreal is not None:
+        specs.append(pl.BlockSpec((1,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM))
+        args.append(nreal.reshape(1).astype(jnp.int32))
+    specs.append(pl.BlockSpec((block_mbs, mcols), lambda i: (i, 0),
+                              memory_space=pltpu.SMEM))
+    args.append(meta)
     specs += [pl.BlockSpec(x.shape, lambda i: (0, 0, 0)) for x in refs]
+    args += list(refs)
     outs = [pl.BlockSpec((out_rows, 128), lambda i: (i, 0))
             for _ in range(n_out_specs)]
     shapes = [jax.ShapeDtypeStruct((steps * out_rows, 128), jnp.uint8)
@@ -337,7 +353,7 @@ def _run(kernel, meta, refs, n_out_specs, out_rows, block_mbs,
             out_specs=outs if n_out_specs > 1 else outs[0]),
         out_shape=shapes if n_out_specs > 1 else shapes[0],
         interpret=interpret,
-    )(meta, *refs)
+    )(*args)
 
 
 def _tiles_to_grid(t, grp, pitch, size):
@@ -420,11 +436,15 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
         bmeta_l = jnp.pad(bmeta, ((0, pad_l), (0, 0)))
         bmeta_c = jnp.pad(bmeta, ((0, pad_c), (0, 0)))
 
+        # real entry count: groups past it exit immediately (the 1.5x cap
+        # ladder leaves up to ~50% padding that otherwise computes garbage)
+        n_real = jnp.sum(exc_ids < n_mb) * 16
         ey = _run(partial(_exc_luma_kernel, n_blocks=n_blk), bmeta_l,
-                  [refs_y], 1, (GEL // CGRP) * 4, GEL, interpret)
+                  [refs_y], 1, (GEL // CGRP) * 4, GEL, interpret,
+                  nreal=n_real)
         ecb, ecr = _run(partial(_exc_chroma_kernel, n_blocks=n_blk),
                         bmeta_c, [refs_cb, refs_cr], 2, (GEC // 16) * 2,
-                        GEC, interpret)
+                        GEC, interpret, nreal=n_real)
 
         def blocks_to_mbs(t, pitch, size):
             blk = _tiles_to_grid(t, 128 // pitch, pitch, size)[:n_blk]

@@ -19,7 +19,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def lane_roll_narrow(x, shift):
     """Dynamic lane roll of a (rows, lanes) uint8/int8/int16 array via the
-    u32-packed view. rows * itemsize_bits must be a multiple of 32."""
+    u32-packed view. rows * itemsize_bits must be a multiple of 32.
+    Static shifts are normalized to [0, lanes) (Mosaic rejects negative
+    static rotate amounts; dynamic ones wrap at runtime)."""
+    if isinstance(shift, int):
+        shift %= x.shape[1]
+        if shift == 0:
+            return x
     w = pltpu.bitcast(x, jnp.uint32)
     w = pltpu.roll(w, shift, 1)
     return pltpu.bitcast(w, x.dtype)

@@ -42,9 +42,10 @@ def test_deblock_parity_interpret(seed):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w), name)
 
 
+@pytest.mark.parametrize("shear", [True, False])
 @pytest.mark.parametrize("seed,dims", [(0, (6, 4)), (1, (9, 5)),
                                        (2, (3, 7))])
-def test_deblock_wavefront_parity_interpret(seed, dims):
+def test_deblock_wavefront_parity_interpret(seed, dims, shear):
     from h264bsd_tpu.ops.pallas_deblock_wf import deblock_frame_wavefront
     rng = np.random.default_rng(seed)
     w_mbs, h_mbs = dims
@@ -70,6 +71,6 @@ def test_deblock_wavefront_parity_interpret(seed, dims):
             jnp.asarray(qp), jnp.asarray(fa), jnp.asarray(fb),
             jnp.asarray(cqo), w_mbs, h_mbs)
     want = deblock_frame(*args)
-    got = deblock_frame_wavefront(*args, interpret=True)
+    got = deblock_frame_wavefront(*args, interpret=True, shear=shear)
     for w, g, name in zip(want, got, "y cb cr".split()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w), name)

@@ -3,13 +3,12 @@
 entry(): a jittable per-frame decode step on the flagship pipeline
 (reconstruct + deblock + DPB store) with small example inputs.
 
-run_multichip_dryrun(n): the multi-stream decode step sharded over an
-n-device Mesh — the decoder's parallelism axes are the ML-stack analogues
-called out in SURVEY.md §2.4: independent streams = data parallel; MB rows
-within a frame = tensor/context parallel (residual + motion compensation
-are per-MB independent and genuinely row-sharded; the sequential
-intra/deblock stages consume an all-gather of the row shards, standing in
-for the halo exchange of the full wavefront implementation).
+run_multichip_dryrun(n): the frame decode step sharded over an n-device
+Mesh — the decoder's parallelism axes are the ML-stack analogues called
+out in SURVEY.md §2.4: independent streams = data parallel; MB rows
+within a frame = tensor/context parallel with real ppermute halo exchange
+and all_gather frame assembly (parallel.rowshard; bit-exactness vs the
+single-device step pinned by tests/test_rowshard.py).
 """
 
 from __future__ import annotations
@@ -22,8 +21,6 @@ import numpy as np
 
 from ..ops.deblock import deblock_frame
 from ..ops.reconstruct import reconstruct_frame
-from ..ops.transform import mb_residual_planes, residual_transform
-from ..ops.inter import inter_predict_frame
 
 TENSOR_SPECS = {
     "mb_class": ((), np.uint8), "qp_y": ((), np.uint8),
@@ -84,15 +81,19 @@ def entry_fn_and_args():
 
 
 def run_multichip_dryrun(n_devices: int) -> None:
-    """Shard the batched decode step over an n-device mesh.
+    """Shard the full frame step over an n-device mesh and run one step.
 
     Mesh axes: ("stream", "row") — stream-batch data parallelism times
-    MB-row sharding. The row-sharded half runs residual transform + motion
-    compensation on its own row stripe (the parallel 95% of the FLOPs);
-    stripes are then all-gathered for the sequential intra/deblock stages.
+    MB-row sharding. The row axis runs parallel.rowshard's real sharded
+    step: residual + MC per stripe against the replicated DPB, then the
+    intra and deblock stripe pipelines with ppermute halo exchange
+    (boundary pel rows / 4-row deblock halos with patch-back), the output
+    frame assembled from the stripe results by all_gather (the DPB
+    handoff collective).
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import Mesh
+
+    from ..parallel.rowshard import make_batched_row_sharded_step
 
     avail = jax.devices()
     if len(avail) < n_devices:
@@ -120,50 +121,9 @@ def run_multichip_dryrun(n_devices: int) -> None:
     dpb_cr = jnp.full((batch, n_slots, h // 2, w // 2), 128, jnp.uint8)
     slots = jnp.zeros((batch,), jnp.int32)
 
-    # per-MB tensors are sharded over ("stream", "row"): the row axis
-    # splits the MB grid into contiguous row stripes
-    def mb_spec(_):
-        return P("stream", "row")
-
-    t_specs = jax.tree.map(mb_spec, tensors)
-    dpb_spec = P("stream")
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(t_specs, dpb_spec, dpb_spec, dpb_spec, P("stream")),
-             out_specs=dpb_spec, check_rep=False)
-    def sharded_step(t_shard, dpb_y, dpb_cb, dpb_cr, slot):
-        # ---- row-parallel half: residual transform on this row stripe ----
-        res, _ = residual_transform(
-            t_shard["coeff"][0].astype(jnp.int32),
-            t_shard["luma_dc"][0].astype(jnp.int32),
-            t_shard["chroma_dc"][0].astype(jnp.int32),
-            t_shard["qp_y"][0].astype(jnp.int32),
-            t_shard["chroma_qp_offset"][0].astype(jnp.int32),
-            t_shard["nnz"][0].astype(jnp.int32),
-            t_shard["nnz_dc"][0].astype(jnp.int32),
-            t_shard["mb_class"][0] == 4)
-        res_l, _ = mb_residual_planes(res)
-
-        # row-sharded motion compensation against the (replicated) DPB
-        pred_y, _, _ = inter_predict_frame(
-            dpb_y[0], dpb_cb[0], dpb_cr[0],
-            t_shard["mv"][0].astype(jnp.int32),
-            t_shard["ref_slot"][0].astype(jnp.int32),
-            w_mbs, h_mbs // n_row)
-        partial_y = jnp.clip(pred_y + res_l, 0, 255).astype(jnp.uint8)
-
-        # ---- gather row stripes (halo exchange stand-in), finish the
-        # sequential stages on the full frame, lane "row" then redundant ----
-        t_full = jax.tree.map(
-            lambda x: jax.lax.all_gather(x[0], "row", axis=0, tiled=True),
-            t_shard)
-        _ = jax.lax.all_gather(partial_y, "row", axis=0, tiled=True)
-        new_y, new_cb, new_cr = frame_step(
-            t_full, dpb_y[0], dpb_cb[0], dpb_cr[0], slot[0],
-            width_mbs=w_mbs, height_mbs=h_mbs)
-        return (new_y[None], new_cb[None], new_cr[None])
-
-    out = jax.jit(sharded_step)(tensors, dpb_y, dpb_cb, dpb_cr, slots)
+    step = make_batched_row_sharded_step(mesh, "stream", "row", w_mbs,
+                                         h_mbs)
+    out = step(tensors, dpb_y, dpb_cb, dpb_cr, slots)
     jax.block_until_ready(out)
     assert out[0].shape == dpb_y.shape
 

@@ -332,7 +332,6 @@ def deblock_frame(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
                   chroma_qp_offset, width_mbs, height_mbs):
     """Filter the whole picture in place (reference h264bsdFilterPicture
     deblocking.c:575-640). Returns filtered (y, cb, cr) uint8."""
-    n_mb = mb_class.shape[0]
     mb_class = mb_class.astype(jnp.int32)
 
     bs_left, bs_top = boundary_strengths(
@@ -345,6 +344,20 @@ def deblock_frame(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
     c_alpha, c_beta, c_tc0 = edge_thresholds(
         qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
         width_mbs, height_mbs, chroma=True)
+    return deblock_frame_with_bs(
+        y, cb, cr, bs_left, bs_top, (l_alpha, l_beta, l_tc0),
+        (c_alpha, c_beta, c_tc0), width_mbs, height_mbs)
+
+
+def deblock_frame_with_bs(y, cb, cr, bs_left, bs_top, luma_thr, chroma_thr,
+                          width_mbs, height_mbs):
+    """The order-dependent pixel half of deblock_frame with the parallel
+    half (bS values + thresholds) supplied by the caller — the seam the
+    row-sharded step (parallel.rowshard) uses to patch boundary strengths
+    at stripe borders before filtering."""
+    n_mb = bs_left.shape[0]
+    l_alpha, l_beta, l_tc0 = luma_thr
+    c_alpha, c_beta, c_tc0 = chroma_thr
 
     # 4-pixel top/left pad keeps all windows in bounds
     yp = jnp.pad(y.astype(jnp.int32), ((4, 0), (4, 0)))

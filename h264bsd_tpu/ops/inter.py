@@ -85,12 +85,15 @@ def luma_predict_blocks(win):
 
 
 def inter_predict_frame(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, width_mbs,
-                        height_mbs):
+                        height_mbs, mb_row_offset=0):
     """Motion-compensated prediction for every 4x4 block of the frame.
 
     Args:
       dpb_y: (nSlots, H, W) uint8; dpb_cb/dpb_cr: (nSlots, H/2, W/2) uint8.
       mv: (nMB, 16, 2) int32 quarter-pel, raster blocks; ref_slot (nMB, 16).
+      mb_row_offset: first MB row's position in the reference frame (used
+        by the row-sharded path, where `mv` covers only a stripe of the
+        frame but the reference planes are whole frames).
 
     Returns:
       pred_y (nMB, 16, 16), pred_cb/pred_cr (nMB, 8, 8) int32 predictions
@@ -104,7 +107,7 @@ def inter_predict_frame(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, width_mbs,
     mb = blk // 16
     b = blk % 16
     bx = (mb % width_mbs) * 16 + jnp.asarray(BLOCK_X)[b]
-    by = (mb // width_mbs) * 16 + jnp.asarray(BLOCK_Y)[b]
+    by = (mb // width_mbs + mb_row_offset) * 16 + jnp.asarray(BLOCK_Y)[b]
     mvx = mv.reshape(n_blk, 2)[:, 0].astype(jnp.int32)
     mvy = mv.reshape(n_blk, 2)[:, 1].astype(jnp.int32)
     slot = jnp.maximum(ref_slot.reshape(n_blk).astype(jnp.int32), 0)

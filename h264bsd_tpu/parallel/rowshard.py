@@ -241,7 +241,7 @@ def make_row_sharded_step(mesh, axis, width_mbs, height_mbs):
     # t_spec is a pytree prefix: it applies to every leaf of the dict
     fn = shard_map(body, mesh=mesh,
                    in_specs=(t_spec, rep, rep, rep, rep),
-                   out_specs=(rep, rep, rep), check_rep=False)
+                   out_specs=(rep, rep, rep), check_vma=False)
     return jax.jit(fn)
 
 
@@ -270,5 +270,5 @@ def make_batched_row_sharded_step(mesh, stream_axis, row_axis, width_mbs,
     d_spec = P(stream_axis)             # DPB replicated along rows
     fn = shard_map(batched, mesh=mesh,
                    in_specs=(t_spec, d_spec, d_spec, d_spec, d_spec),
-                   out_specs=(d_spec, d_spec, d_spec), check_rep=False)
+                   out_specs=(d_spec, d_spec, d_spec), check_vma=False)
     return jax.jit(fn)

@@ -2,11 +2,15 @@
 
 An IDR picture fully resets the DPB (reference decoder.c:343-389 flush
 logic), so closed GOPs (IDR .. next IDR) are independent decode units. The
-stream is split at its IDR boundaries on the host (cheap NAL scan), each
-GOP is decoded by its own decoder instance whose device arrays live on a
-different chip of the mesh, and outputs are re-concatenated in stream
-order. The bundled streams use keyint=40, giving one GOP boundary roughly
-every 1.6 s of video.
+stream is split at its IDR *picture* boundaries on the host (cheap NAL
+scan + first_mb_in_slice peek, mirroring the access-unit-boundary rule of
+h264bsdCheckAccessUnitBoundary storage.c:593: a new picture starts at the
+slice with first_mb_in_slice == 0 — an IDR picture coded as several slices
+stays in one segment). Each GOP is decoded by its own decoder instance
+whose device arrays live on a different chip of the mesh, GOPs decode
+concurrently on parse threads (the C++ front-end releases the GIL), and
+outputs are re-concatenated in stream order. The bundled streams use
+keyint=40, giving one GOP boundary roughly every 1.6 s of video.
 
 Every GOP re-activates parameter sets, so each split segment is prefixed
 with the stream's SPS/PPS NAL units.
@@ -14,38 +18,52 @@ with the stream's SPS/PPS NAL units.
 
 from __future__ import annotations
 
-import re
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 
-from ..models.decoder import Decoder, PIC_RDY, ERROR
+from ..models.decoder import ERROR, PIC_RDY, Decoder
 
 
 def _nal_positions(data: bytes):
-    """(offset, nal_type) for every Annex-B start code."""
+    """(payload_offset, start_offset, nal_type) for every Annex-B start
+    code; start_offset includes the zero bytes of 3- AND 4-byte start
+    codes (h264bsdExtractNalUnit byte_stream.c:108-129 skips any number
+    of leading zeros)."""
     out = []
-    for m in re.finditer(b"\x00\x00\x01", data):
-        pos = m.start()
+    pos = 0
+    while (pos := data.find(b"\x00\x00\x01", pos)) != -1:
+        start = pos
+        while start > 0 and data[start - 1] == 0:
+            start -= 1
         if pos + 3 < len(data):
-            out.append((pos, data[pos + 3] & 0x1F))
+            out.append((pos + 3, start, data[pos + 3] & 0x1F))
+        pos += 3
     return out
+
+
+def _first_mb_is_zero(data: bytes, payload_off: int) -> bool:
+    """True when the slice NAL at payload_off has first_mb_in_slice == 0:
+    ue(v) == 0 is the single bit '1', so the first slice-header bit (MSB
+    of the byte after the one-byte NAL header) decides."""
+    hdr = payload_off + 1
+    return hdr < len(data) and (data[hdr] & 0x80) != 0
 
 
 def split_gops(data: bytes):
     """Split an Annex-B stream into independently decodable segments:
-    [param sets + GOP] per IDR. Returns a list of byte strings."""
+    [param sets + GOP] per IDR *picture*. Returns a list of byte strings.
+
+    Only an IDR slice that starts a new access unit (first_mb_in_slice ==
+    0, the storage.c:593 boundary rule restricted to IDR) opens a segment,
+    so multi-slice IDR pictures are never torn apart."""
     nals = _nal_positions(data)
-    # prefix: every SPS/PPS before the first IDR
-    header = b""
-    idr_starts = []
-    for pos, t in nals:
-        if t == 5 and (not idr_starts or pos > idr_starts[-1]):
-            idr_starts.append(pos)
+    idr_starts = [start for payload, start, t in nals
+                  if t == 5 and _first_mb_is_zero(data, payload)]
     if not idr_starts:
         return [data]
-    # find where the header (SPS/PPS before first IDR) begins/ends
-    first_idr = idr_starts[0]
-    header = data[:first_idr]
+    # prefix: everything before the first IDR picture (SPS/PPS/SEI)
+    header = data[:idr_starts[0]]
     segments = []
     for i, start in enumerate(idr_starts):
         end = idr_starts[i + 1] if i + 1 < len(idr_starts) else len(data)
@@ -54,29 +72,35 @@ def split_gops(data: bytes):
     return segments
 
 
-def decode_stream_gop_parallel(data: bytes, devices=None):
+def _decode_segment(seg: bytes, dev):
+    with jax.default_device(dev):
+        dec = Decoder()
+        pics = []
+        pos = 0
+        while pos < len(seg):
+            status, read = dec.decode(seg[pos:], pic_id=len(pics))
+            pos += read
+            if status == PIC_RDY:
+                while (pic := dec.next_output_picture()) is not None:
+                    pics.append(pic)
+            elif status >= ERROR and read == 0:
+                break
+        dec.close()
+        return pics
+
+
+def decode_stream_gop_parallel(data: bytes, devices=None, threads=None):
     """Decode GOPs concurrently across devices; yields output pictures in
-    stream order. Dispatches every GOP's device work before draining any
-    results, so chips run concurrently (async dispatch)."""
+    stream order. Each GOP runs on its own thread (host parse is C++ with
+    the GIL released; device work is async-dispatched per chip), so GOP i+1
+    parses while GOP i's frames reconstruct. Results stream out in order
+    as each earliest-pending GOP completes."""
     devices = devices or jax.devices()
     segments = split_gops(data)
+    n_workers = threads or min(len(segments), max(2 * len(devices), 4))
 
-    per_gop = []
-    for i, seg in enumerate(segments):
-        dev = devices[i % len(devices)]
-        with jax.default_device(dev):
-            dec = Decoder()
-            pics = []
-            pos = 0
-            while pos < len(seg):
-                status, read = dec.decode(seg[pos:], pic_id=len(pics))
-                pos += read
-                if status == PIC_RDY:
-                    while (pic := dec.next_output_picture()) is not None:
-                        pics.append(pic)
-                elif status >= ERROR and read == 0:
-                    break
-            per_gop.append(pics)
-
-    for pics in per_gop:
-        yield from pics
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures = [pool.submit(_decode_segment, seg, devices[i % len(devices)])
+                   for i, seg in enumerate(segments)]
+        for fut in futures:
+            yield from fut.result()

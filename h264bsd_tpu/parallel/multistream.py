@@ -4,15 +4,26 @@ concurrently).
 
 Each stream keeps its own host front-end (decoder state is self-contained,
 reference h264bsd_storage.h:75-152 -> trivially batchable); every round,
-all streams that produced a picture run as ONE vmapped device step over a
+all streams that produced a picture run as ONE batched device step over a
 stacked transfer blob. The per-stream layout is identical to the
 single-stream fast path (FrameTensors::build_blob): the whole round is a
 single (N, blob_bytes) host->device copy.
 
 On a single chip the batching amortizes the sequential intra/deblock
 stages across streams (all streams advance inside the same fori steps) —
-the TPU-native answer to "many slow scalar decoders" on CPU. Across chips
-the same step shards over a "stream" mesh axis (models/entry.py).
+the TPU-native answer to "many slow scalar decoders" on CPU. With a
+`mesh`, the same step runs under shard_map with the stream batch
+partitioned over a mesh axis: each device decodes its shard of streams
+with no cross-device traffic (streams are independent; the collective
+layer is only the program launch).
+
+Concealment: streams whose picture needs the reference's sequential
+neighbour-DC synthesis (partial loss without a usable reference,
+h264bsd_conceal.c:124-254) are EVICTED from the batch round — their slice
+of the DPB runs the same exact three-stage path as the single-stream
+decoder (_recon_only_step -> host spiral -> _deblock_store_step), so
+batched mode stays byte-exact on corrupt streams. P-type loss with a
+reference and whole-picture loss stay on the batched path (both exact).
 
 Host parse for round k+1 overlaps device execution of round k via a
 producer thread (ctypes releases the GIL during C++ parse).
@@ -27,9 +38,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..frontend import binding as fe
-from ..models.decoder import _decode_step
+from ..models.decoder import (_decode_step, _deblock_store_step,
+                              _recon_only_step)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps",
@@ -57,12 +71,12 @@ class MultiStreamDecoder:
     """Decode N same-resolution streams concurrently with one batched
     device step per round. Streams out of data simply stop contributing.
 
-    Concealment limitations in batched mode: partial I-type loss uses the
-    device grey-fill/P-copy approximation (the exact host spiral would
-    serialize the batch); clean and whole-picture-loss streams are exact.
+    With `mesh`, the batch is sharded over `stream_axis` of the mesh
+    (config 5's cross-chip shape); N must be divisible by the axis size.
     """
 
-    def __init__(self, streams: list[bytes]):
+    def __init__(self, streams: list[bytes], mesh=None,
+                 stream_axis: str = "stream"):
         self.n = len(streams)
         self.data = streams
         self.pos = [0] * self.n
@@ -70,8 +84,15 @@ class MultiStreamDecoder:
         self.geom = None
         self.dpb = None
         self.outputs = [[] for _ in range(self.n)]
+        self.mesh = mesh
+        self.axis = stream_axis
+        if mesh is not None and self.n % mesh.shape[stream_axis]:
+            raise ValueError(
+                f"{self.n} streams not divisible by mesh axis "
+                f"{stream_axis!r} size {mesh.shape[stream_axis]}")
         self._zero_pcm = None
         self._zero_blob = {}
+        self._sharded = {}
 
     def _ensure_dpb(self, info):
         if self.dpb is not None:
@@ -136,14 +157,28 @@ class MultiStreamDecoder:
         blobs, slots, cfr, crs = [], [], [], []
         non_existing = []
         ipcm = []
+        exact = []   # streams evicted to the exact concealment path
         for i in range(self.n):
             if i in ready:
                 _, info, nonex = ready[i]
                 blobs.append(self.fes[i].blob(*caps))
-                slots.append(info["slot"])
                 n_conc = info["num_concealed_mbs"]
-                cfr.append(bool(info["conceal_from_ref"]) and n_conc > 0)
-                crs.append(info["conceal_ref_slot"])
+                partial_loss = 0 < n_conc < n_mbs
+                needs_exact = partial_loss and (
+                    not info["conceal_from_ref"] or
+                    info["conceal_ref_slot"] < 0)
+                if needs_exact:
+                    # run as a no-op in the batch (scratch slot); the
+                    # exact spiral path handles the real slot afterwards
+                    exact.append((i, info))
+                    slots.append(n_scratch)
+                    cfr.append(False)
+                    crs.append(-1)
+                else:
+                    slots.append(info["slot"])
+                    cfr.append(bool(info["conceal_from_ref"]) and
+                               n_conc > 0)
+                    crs.append(info["conceal_ref_slot"])
                 non_existing.extend((i, s) for s in nonex)
                 mb, data = self.fes[i].ipcm()
                 if len(mb):
@@ -157,9 +192,29 @@ class MultiStreamDecoder:
                     cfr=np.array(cfr), crs=np.array(crs, np.int32),
                     caps=caps, wavefront=wavefront, n_mbs=n_mbs,
                     n_ready=len(ready), non_existing=non_existing,
-                    ipcm=ipcm)
+                    ipcm=ipcm, exact=exact)
 
     # -- device half -------------------------------------------------------
+
+    def _step_fn(self, caps, wavefront, w_mbs, h_mbs):
+        """The round's batched step: plain vmapped jit on one device, or
+        shard_map over the stream mesh axis."""
+        if self.mesh is None:
+            return lambda *a: _batched_blob_step(
+                *a, width_mbs=w_mbs, height_mbs=h_mbs, caps=caps,
+                intra_wavefront=wavefront)
+        key = (caps, wavefront, w_mbs, h_mbs)
+        if key not in self._sharded:
+            def batched(blobs, dy, dcb, dcr, py, pcb, pcr, slots, cfr, crs):
+                return _batched_blob_step(
+                    blobs, dy, dcb, dcr, py, pcb, pcr, slots, cfr, crs,
+                    w_mbs, h_mbs, caps, wavefront)
+
+            sp = P(self.axis)
+            fn = shard_map(batched, mesh=self.mesh, in_specs=(sp,) * 10,
+                           out_specs=(sp, sp, sp), check_vma=False)
+            self._sharded[key] = jax.jit(fn)
+        return self._sharded[key]
 
     def _submit(self, rnd):
         n_mbs = rnd["n_mbs"]
@@ -187,11 +242,44 @@ class MultiStreamDecoder:
             pcm = self._zero_pcm
 
         g = self.geom
-        self.dpb = _batched_blob_step(
+        step = self._step_fn(rnd["caps"], rnd["wavefront"], g["width_mbs"],
+                             g["height_mbs"])
+        self.dpb = step(
             jnp.asarray(rnd["blobs"]), dy, dcb, dcr, *pcm,
             jnp.asarray(rnd["slots"]), jnp.asarray(rnd["cfr"]),
-            jnp.asarray(rnd["crs"]), g["width_mbs"], g["height_mbs"],
+            jnp.asarray(rnd["crs"]))
+
+        for i, info in rnd["exact"]:
+            self._submit_exact(i, info, rnd, pcm)
+
+    def _submit_exact(self, i, info, rnd, pcm):
+        """Exact three-stage concealment for one evicted stream, on its
+        slice of the batched DPB (mirrors Decoder._submit's needs_exact
+        branch; reference spiral h264bsd_conceal.c:124-254)."""
+        from ..ops.conceal import conceal_picture
+
+        g = self.geom
+        w_mbs, h_mbs = g["width_mbs"], g["height_mbs"]
+        n_mbs = rnd["n_mbs"]
+        dy, dcb, dcr = self.dpb
+        blob_np = rnd["blobs"][i]
+        blob = jnp.asarray(blob_np)
+        y, cb, cr = dy[i], dcb[i], dcr[i]
+        ry, rcb, rcr = _recon_only_step(
+            blob, y, cb, cr, pcm[0][i], pcm[1][i], pcm[2][i], w_mbs, h_mbs,
             rnd["caps"], rnd["wavefront"])
+        yn = np.asarray(ry).copy()
+        cbn = np.asarray(rcb).copy()
+        crn = np.asarray(rcr).copy()
+        mb_class = blob_np[:n_mbs * 16].reshape(n_mbs, 16)[:, 3] & 7
+        decoded = mb_class != 6
+        conceal_picture(yn, cbn, crn, decoded, w_mbs, h_mbs,
+                        bool(info["conceal_from_ref"]), None)
+        ny, ncb, ncr = _deblock_store_step(
+            jnp.asarray(yn), jnp.asarray(cbn), jnp.asarray(crn), blob,
+            y, cb, cr, jnp.int32(info["slot"]), w_mbs, h_mbs, rnd["caps"])
+        self.dpb = (dy.at[i].set(ny), dcb.at[i].set(ncb),
+                    dcr.at[i].set(ncr))
 
     def step(self) -> int:
         """Advance every live stream to its next picture, then run one

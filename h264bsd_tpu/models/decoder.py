@@ -26,7 +26,10 @@ from ..ops.reconstruct import (build_pcm_tensors, reconstruct_frame,
                                reconstruct_frame_fast)
 from ..utils import golden
 
-MC_REF_CAP = 4          # DPB slots resident in VMEM for the Pallas MC path
+MC_REF_CAP = 4          # DPB slots resident in VMEM per Pallas MC pass
+MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
+                        # referencing more than MC_REF_CAP slots run the
+                        # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
 
 
@@ -336,18 +339,22 @@ class Decoder:
 
         ipcm = self._fe.ipcm()
 
-        # MC path: Pallas window kernels when the frame references at most
-        # MC_REF_CAP DPB slots (their planes must fit VMEM); XLA gather
-        # path otherwise and on non-TPU backends (H264TPU_MC overrides)
+        # MC path: Pallas window kernels (up to MC_REF_MAX referenced DPB
+        # slots; MC_REF_CAP planes are VMEM-resident per pass, more slots
+        # run as merged multi-group passes — ops.pallas_mc). XLA gather
+        # path on non-TPU backends (H264TPU_MC overrides).
         mask = info.get("used_slot_mask", 0)
-        used = [s for s in range(32) if mask >> s & 1][:MC_REF_CAP]
+        used = [s for s in range(32) if mask >> s & 1][:MC_REF_MAX]
         kernels_on = _MC_MODE == "pallas" or \
             (_MC_MODE == "auto" and _on_tpu())
-        mc_pallas = kernels_on and \
-            info.get("used_slot_count", 99) <= MC_REF_CAP
+        count = info.get("used_slot_count", 99)
+        mc_pallas = kernels_on and count <= MC_REF_MAX
         if not used:
             used = [0]
-        used_slots = np.asarray((used + [used[0]] * MC_REF_CAP)[:MC_REF_CAP],
+        # tiered pad (4/8/16) so only three used_slots shapes ever compile
+        cap_len = next(c for c in (MC_REF_CAP, 2 * MC_REF_CAP, MC_REF_MAX)
+                       if c >= min(len(used), MC_REF_MAX))
+        used_slots = np.asarray((used + [used[0]] * cap_len)[:cap_len],
                                 np.int32)
         return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
                     blob=blob, caps=(cap, wcap, ecap, icap, scap),
@@ -647,6 +654,7 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
                 and prep["mc_pallas"] == head["mc_pallas"]
                 and prep["deblock_pallas"] == head["deblock_pallas"]
                 and prep["n_mbs"] == head["n_mbs"]
+                and prep["used_slots"].shape == head["used_slots"].shape
                 and prep["info"]["slot"] not in out_slots)
 
     def flush():

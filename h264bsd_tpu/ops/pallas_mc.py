@@ -362,6 +362,9 @@ def _tiles_to_grid(t, grp, pitch, size):
     return t.transpose(0, 2, 1, 3).reshape(-1, size, size)
 
 
+REF_GROUP = 4   # DPB slots whose padded planes fit VMEM per kernel pass
+
+
 def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
                      used_slots, width_mbs, height_mbs, interpret=False):
     """Motion compensation for the whole frame on TPU via Pallas.
@@ -371,7 +374,43 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     entries == nMB); used_slots: (refCap,) int32 DPB slots referenced this
     frame (padded by repetition). Returns (y, cb, cr) uint8 MB grids
     ((nMB,16,16)/(nMB,8,8)); values meaningful only for inter MBs.
+
+    refCap may exceed REF_GROUP (the DPB allows 16 reference frames,
+    reference h264bsd_seq_param_set.c:488 / cfg.h:44, but only ~REF_GROUP
+    padded planes fit VMEM): the kernels then run once per REF_GROUP-slot
+    group and the results merge per 4x4 block by reference membership —
+    every block's slot is in exactly one pass's ref list (padding repeats
+    a slot already covered, whose passes agree).
     """
+    n_groups = -(-used_slots.shape[0] // REF_GROUP)
+    if n_groups <= 1:
+        return _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
+                                 exc_ids, used_slots, width_mbs,
+                                 height_mbs, interpret)
+    out = None
+    for g in range(n_groups):
+        grp = used_slots[g * REF_GROUP:(g + 1) * REF_GROUP]
+        res = _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
+                                exc_ids, grp, width_mbs, height_mbs,
+                                interpret)
+        if out is None:
+            out = res
+            continue
+        in_grp = jnp.zeros(ref_slot.shape, jnp.bool_)
+        for j in range(REF_GROUP):
+            in_grp |= ref_slot == grp[j]
+        blk = in_grp.reshape(-1, 4, 4)   # raster 4x4 blocks of the MB
+        m16 = jnp.repeat(jnp.repeat(blk, 4, 1), 4, 2)
+        m8 = jnp.repeat(jnp.repeat(blk, 2, 1), 2, 2)
+        out = (jnp.where(m16, res[0], out[0]),
+               jnp.where(m8, res[1], out[1]),
+               jnp.where(m8, res[2], out[2]))
+    return out
+
+
+def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
+                      used_slots, width_mbs, height_mbs, interpret=False):
+    """One kernel pass over <= REF_GROUP resident reference slots."""
     n_mb = mv.shape[0]
     H, W = dpb_y.shape[1], dpb_y.shape[2]
     Hc, Wc = H // 2, W // 2

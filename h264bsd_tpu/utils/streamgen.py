@@ -428,9 +428,11 @@ def make_multiref_stream(frames, width_mbs: int = 4, height_mbs: int = 4,
                           n_active=n_active,
                           reorder=f.get("reorder", ()),
                           mmco=f.get("mmco", ()))
-            for _ in range(n_mbs):
+            cycle = f.get("ref_cycle", 0)
+            for i in range(n_mbs):
                 w.ue(0)  # mb_skip_run
-                _p16_mb(w, f.get("ref_idx", 0), n_active, f.get("dc"))
+                ref = i % cycle if cycle else f.get("ref_idx", 0)
+                _p16_mb(w, ref, n_active, f.get("dc"))
         out += _nal(0x65 if f.get("idr") else 0x61, w)
     return out
 

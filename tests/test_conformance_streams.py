@@ -107,6 +107,18 @@ MULTIREF_CASES = {
         dict(frame_num=1, dc=5),
         dict(frame_num=2, n_active=2, ref_idx=1, dc=-4),  # the LT IDR
     ]),
+    # one P frame referencing SIX distinct DPB slots (MB i -> list entry
+    # i%6): crosses the Pallas MC VMEM group size, exercising the merged
+    # multi-group kernel path (ops.pallas_mc REF_GROUP)
+    "six_ref_cycle": dict(num_ref_frames=6, frames=[
+        dict(idr=True, frame_num=0, dc=4),
+        dict(frame_num=1, dc=5),
+        dict(frame_num=2, dc=-3),
+        dict(frame_num=3, dc=6),
+        dict(frame_num=4, dc=-4),
+        dict(frame_num=5, dc=7),
+        dict(frame_num=6, n_active=6, ref_cycle=6, dc=-5),
+    ]),
     # gaps_in_frame_num: frame 2 never arrives and is synthesized as a
     # non-existing reference (h264bsdCheckGapsInFrameNum dpb.c:1218);
     # every P picks an index pointing at a real frame (referencing a
@@ -283,3 +295,34 @@ def test_intra_stress_bit_exact(kw, tmp_path):
     ours = b"".join(np.asarray(plane).tobytes()
                     for p in pics for plane in p.yuv_planes())
     assert ours == ref
+
+
+def test_six_ref_frame_takes_kernel_path(monkeypatch):
+    """A frame referencing more than MC_REF_CAP slots must still pick the
+    Pallas MC path (merged multi-group passes) instead of falling back to
+    the XLA gather cliff — probe the host-side _prepare decision with the
+    kernel mode forced on (the kernels themselves are TPU-only; their
+    multi-group parity is pinned by test_pallas_mc)."""
+    from h264bsd_tpu.frontend import binding as fe
+    from h264bsd_tpu.models import decoder as D
+
+    data = make_multiref_stream(**MULTIREF_CASES["six_ref_cycle"])
+    monkeypatch.setattr(D, "_MC_MODE", "pallas")
+    dec = D.Decoder()
+    preps = []
+    orig = dec._submit
+    monkeypatch.setattr(dec, "_submit",
+                        lambda prep: preps.append(prep) or None)
+    pos = 0
+    while pos < len(data):
+        status, read = dec.decode(data[pos:], 0)
+        pos += read
+        if status >= fe.ERROR and read == 0:
+            break
+    last = preps[-1]           # the 6-reference P frame
+    assert last["info"]["used_slot_count"] == 6
+    assert last["mc_pallas"]
+    assert last["used_slots"].shape == (8,)   # 4/8/16 tier ladder
+    assert sorted(set(last["used_slots"].tolist())) == sorted(
+        set(last["used_slots"][:6].tolist()))
+    dec.close()

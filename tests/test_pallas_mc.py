@@ -54,3 +54,48 @@ def test_mc_parity_interpret(seed):
     np.testing.assert_array_equal(np.asarray(got_y), want_y)
     np.testing.assert_array_equal(np.asarray(got_cb), want_cb)
     np.testing.assert_array_equal(np.asarray(got_cr), want_cr)
+
+
+def test_mc_multigroup_parity_interpret():
+    """used_slots beyond one VMEM group (>4 slots): the merged multi-pass
+    path must match the XLA gather formulation block-for-block."""
+    rng = np.random.default_rng(7)
+    w_mbs, h_mbs = 5, 3
+    n_mb = w_mbs * h_mbs
+    H, W = h_mbs * 16, w_mbs * 16
+    n_slots = 8
+    dpb_y = rng.integers(0, 255, (n_slots, H, W), dtype=np.uint8)
+    dpb_cb = rng.integers(0, 255, (n_slots, H // 2, W // 2), dtype=np.uint8)
+    dpb_cr = rng.integers(0, 255, (n_slots, H // 2, W // 2), dtype=np.uint8)
+
+    mv = np.zeros((n_mb, 16, 2), np.int32)
+    mv[:] = rng.integers(-40, 40, (n_mb, 1, 2))
+    exc = np.array([2, 9], np.int32)
+    mv[exc] = rng.integers(-40, 40, (len(exc), 16, 2))
+    # six distinct slots referenced; exception MBs mix slots from BOTH
+    # VMEM groups within one macroblock
+    used = np.array([0, 2, 3, 5, 6, 7, 0, 0], np.int32)
+    ref_slot = np.zeros((n_mb, 16), np.int32)
+    ref_slot[:] = used[rng.integers(0, 6, (n_mb, 1))]
+    ref_slot[exc] = used[rng.integers(0, 6, (len(exc), 16))]
+
+    py, pcb, pcr = inter_predict_frame(
+        jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
+        jnp.asarray(mv), jnp.asarray(ref_slot), w_mbs, h_mbs)
+    want_y = np.asarray(mb_grid_to_plane(
+        jnp.clip(py, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+    want_cb = np.asarray(mb_grid_to_plane(
+        jnp.clip(pcb, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+    want_cr = np.asarray(mb_grid_to_plane(
+        jnp.clip(pcr, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
+
+    exc_ids = np.full(8, n_mb, np.int32)
+    exc_ids[:len(exc)] = exc
+    got_y, got_cb, got_cr = mc_predict_planes(
+        jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
+        jnp.asarray(mv), jnp.asarray(ref_slot), jnp.asarray(exc_ids),
+        jnp.asarray(used), w_mbs, h_mbs, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_y), want_y)
+    np.testing.assert_array_equal(np.asarray(got_cb), want_cb)
+    np.testing.assert_array_equal(np.asarray(got_cr), want_cr)

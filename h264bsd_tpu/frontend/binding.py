@@ -46,7 +46,7 @@ def _configure(L: ct.CDLL) -> None:
     L.h264tpu_blob.restype = ct.c_void_p
     L.h264tpu_blob.argtypes = [
         ct.c_void_p, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
-        ct.c_uint32,
+        ct.c_uint32, ct.c_uint32, ct.c_uint32,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ct.POINTER(ct.c_uint64)]
     L.h264tpu_flush_buffer.restype = None
@@ -130,9 +130,16 @@ class FrontendDecoder:
     surface (h264bsd_decoder.h:64-93). Emits per-picture MB tensors for the
     device reconstruction pipeline."""
 
-    def __init__(self, no_output_reordering: bool = False):
+    def __init__(self, no_output_reordering: bool = False,
+                 intra_concealment: bool = False):
+        """intra_concealment mirrors the reference's intraConcealmentFlag
+        (h264bsd_storage.h:148-149, read at conceal.c:129-139): P-picture
+        losses are concealed from neighbour pels instead of the reference
+        picture."""
         self._lib = lib()
-        self._h = self._lib.h264tpu_create(1 if no_output_reordering else 0)
+        flags = (1 if no_output_reordering else 0) | \
+            (2 if intra_concealment else 0)
+        self._h = self._lib.h264tpu_create(flags)
 
     def close(self) -> None:
         if self._h:
@@ -248,21 +255,23 @@ class FrontendDecoder:
         return self._raw(25, np.uint32)
 
     def blob_counts(self):
-        """[n_sparse, n_wide, n_exc, n_intra, n_slices] for tier
-        selection; also (re)builds the packed records."""
-        counts = np.zeros(5, np.uint32)
+        """[n_single, n_short, n_full, n_wide, n_exc, n_intra, n_slices]
+        for tier selection; also (re)builds + classifies the packed
+        records."""
+        counts = np.zeros(7, np.uint32)
         size = ct.c_uint64(0)
-        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, 0, counts,
+        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, 0, 0, 0, counts,
                                ct.byref(size))
         return counts
 
-    def blob(self, sparse_cap, wide_cap, exc_cap, intra_cap,
-             stab_cap) -> np.ndarray:
+    def blob(self, single_cap, short_cap, full_cap, wide_cap, exc_cap,
+             intra_cap, stab_cap) -> np.ndarray:
         """Tier-padded single transfer blob (layout: build_blob,
         mbparse.cpp)."""
-        counts = np.zeros(5, np.uint32)
+        counts = np.zeros(7, np.uint32)
         size = ct.c_uint64(0)
-        ptr = self._lib.h264tpu_blob(self._h, sparse_cap, wide_cap, exc_cap,
+        ptr = self._lib.h264tpu_blob(self._h, single_cap, short_cap,
+                                     full_cap, wide_cap, exc_cap,
                                      intra_cap, stab_cap, counts,
                                      ct.byref(size))
         buf = (ct.c_char * size.value).from_address(ptr)

@@ -18,8 +18,10 @@ extern "C" {
 
 // ---- decoder instance API ----
 
-void* h264tpu_create(u32 no_output_reordering) {
-  return new Decoder(no_output_reordering != 0);
+// flags: bit 0 = no_output_reordering (h264bsdInit decoder.c:90-113),
+// bit 1 = intraConcealmentFlag (h264bsd_storage.h:148-149)
+void* h264tpu_create(u32 flags) {
+  return new Decoder((flags & 1) != 0, (flags & 2) != 0);
 }
 
 void h264tpu_destroy(void* inst) { delete static_cast<Decoder*>(inst); }
@@ -129,24 +131,30 @@ const void* h264tpu_packed(void* inst, u64* size_bytes) {
   return t.packed.data();
 }
 
-// Build the per-frame transfer blob. out_counts4 (optional pre-query with
-// build == 0): [n_sparse, n_exc, n_intra, n_slices].
-const void* h264tpu_blob(void* inst, u32 sparse_cap, u32 wide_cap,
-                         u32 exc_cap, u32 intra_cap, u32 stab_cap,
-                         u32* out_counts5, u64* size_bytes) {
+// Build the per-frame transfer blob. Pre-query with single_cap == 0:
+// out_counts7 = [n_single, n_short, n_full, n_wide, n_exc, n_intra,
+// n_slices] (the caller picks tier caps from these).
+const void* h264tpu_blob(void* inst, u32 single_cap, u32 short_cap,
+                         u32 full_cap, u32 wide_cap, u32 exc_cap,
+                         u32 intra_cap, u32 stab_cap, u32* out_counts7,
+                         u64* size_bytes) {
   FrameTensors& t = const_cast<FrameTensors&>(
       static_cast<Decoder*>(inst)->tensors());
   t.build_packed();
-  out_counts5[0] = u32(t.sparse_id.size());
-  out_counts5[1] = t.sparse_wide;
-  out_counts5[2] = u32(t.mv_exc_id.size());
-  out_counts5[3] = u32(t.intra_mbs.size());
-  out_counts5[4] = u32(t.slice_table.size() / 4);
-  if (sparse_cap == 0) {  // size query only
+  t.classify_sparse();
+  out_counts7[0] = u32(t.cls_single.size());
+  out_counts7[1] = u32(t.cls_short.size());
+  out_counts7[2] = u32(t.cls_full.size());
+  out_counts7[3] = t.cls_wide;
+  out_counts7[4] = u32(t.mv_exc_id.size());
+  out_counts7[5] = u32(t.intra_mbs.size());
+  out_counts7[6] = u32(t.slice_table.size() / 4);
+  if (single_cap == 0 && short_cap == 0 && full_cap == 0) {  // size query
     *size_bytes = 0;
     return nullptr;
   }
-  t.build_blob(sparse_cap, wide_cap, exc_cap, intra_cap, stab_cap);
+  t.build_blob(single_cap, short_cap, full_cap, wide_cap, exc_cap,
+               intra_cap, stab_cap);
   *size_bytes = t.blob.size();
   return t.blob.data();
 }

@@ -493,9 +493,11 @@ u32 Decoder::decode_inner(const u8* data, u32 len, u32 pic_id,
     pic_info_.num_concealed_mbs = num_concealed_mbs_;
     pic_info_.slice_type = conceal_slice_type;
     if (num_concealed_mbs_ > 0) {
-      // intraConcealmentFlag (reference storage.h:148) is fixed 0 here:
-      // I-type loss is concealed from neighbour pels, not the ref picture
-      pic_info_.conceal_from_ref = is_p_slice(conceal_slice_type);
+      // I-type loss (and everything when intraConcealmentFlag is set,
+      // reference conceal.c:129-139 via storage.h:148) is concealed from
+      // neighbour pels; P-type loss copies from the reference picture
+      pic_info_.conceal_from_ref =
+          is_p_slice(conceal_slice_type) && !intra_concealment_;
       if (pic_info_.conceal_from_ref) {
         // use reference picture with the smallest available index
         // (conceal.c:147-158)

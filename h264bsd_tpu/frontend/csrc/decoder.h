@@ -56,8 +56,10 @@ struct AubState {
 
 class Decoder {
  public:
-  explicit Decoder(bool no_output_reordering = false)
-      : no_reordering_(no_output_reordering) {}
+  explicit Decoder(bool no_output_reordering = false,
+                   bool intra_concealment = false)
+      : no_reordering_(no_output_reordering),
+        intra_concealment_(intra_concealment) {}
 
   // Decode one NAL unit (reference h264bsdDecode decoder.c:152-515).
   u32 decode(const u8* data, u32 len, u32 pic_id, u32* read_bytes);
@@ -126,6 +128,9 @@ class Decoder {
   void prepare_concealment(bool whole_pic_lost);
 
   bool no_reordering_ = false;
+  // reference intraConcealmentFlag (h264bsd_storage.h:148-149): conceal
+  // P-picture losses from neighbour pels instead of the reference picture
+  bool intra_concealment_ = false;
 
   // parameter set registries (reference storage_t.sps/pps)
   std::array<std::unique_ptr<Sps>, kMaxNumSps> sps_;

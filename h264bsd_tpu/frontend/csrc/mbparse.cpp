@@ -344,33 +344,76 @@ void FrameTensors::build_packed() {
 
     if (mb_class[i] == kMbIntra4 || mb_class[i] == kMbIntra16) {
       intra_mbs.push_back(i);
-      intra_payload.insert(intra_payload.end(), &i4_modes[i * 16],
-                           &i4_modes[i * 16] + 16);
-      intra_payload.insert(intra_payload.end(), &i4_avail[i * 16],
-                           &i4_avail[i * 16] + 16);
+      for (u32 b = 0; b < 16; ++b) {
+        intra_payload.push_back(
+            u8(i4_modes[i * 16 + b] | (i4_avail[i * 16 + b] << 4)));
+      }
     }
   }
 }
 
-void FrameTensors::build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
-                              u32 intra_cap, u32 stab_cap) {
+void FrameTensors::classify_sparse() {
+  // split the sparse residual stream by payload weight: 65% of 1080p
+  // blocks carry ONE coefficient (4 B on the wire instead of 20), ~92%
+  // fit the first 8 raster positions (12 B). Out-of-i8 values force the
+  // full class, where they travel as wide escapes.
+  cls_single.clear();
+  cls_short.clear();
+  cls_full.clear();
+  cls_wide = 0;
+  const u32 n_blocks = u32(sparse_id.size());
+  for (u32 e = 0; e < n_blocks; ++e) {
+    const i16* lv = &sparse_level[size_t(e) * 16];
+    u32 nz = 0, last = 0;
+    bool narrow = true;
+    for (u32 k = 0; k < 16; ++k) {
+      if (lv[k]) {
+        ++nz;
+        last = k;
+        narrow &= lv[k] >= -128 && lv[k] <= 127;
+      }
+    }
+    if (nz == 1 && narrow) {
+      cls_single.push_back((sparse_id[e] << 12) | (last << 8) |
+                           u32(u8(i8(lv[last]))));
+    } else if (last < 8 && narrow) {
+      cls_short.push_back(e);
+    } else {
+      cls_full.push_back(e);
+      if (!narrow) {
+        for (u32 k = 0; k < 16; ++k) {
+          cls_wide += lv[k] < -128 || lv[k] > 127;
+        }
+      }
+    }
+  }
+}
+
+void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
+                              u32 wide_cap, u32 exc_cap, u32 intra_cap,
+                              u32 stab_cap) {
   // layout (every section tier-padded so device offsets are static):
   //   [0]                packed records        n*16 B
   //   [A]                slice table           stab_cap*4 (i8)
-  //   [B]                sparse ids            sparse_cap*4 (i32, pad n*26)
-  //   [C]                sparse levels         sparse_cap*16 (i8[16];
+  //   [B1]               single records        single_cap*4 (u32 =
+  //                      id<<12|pos<<8|value; pad id n*26)
+  //   [B2]               short ids             short_cap*4 (i32, pad n*26)
+  //   [B3]               short levels          short_cap*8 (i8[8])
+  //   [B4]               full ids              full_cap*4 (i32, pad n*26)
+  //   [B5]               full levels           full_cap*16 (i8[16];
   //                      values outside i8 go out as 0 + a wide escape)
   //   [C1]               wide ids              wide_cap*4 (i32 = entry*16+
-  //                      pos, pad sparse_cap*16)
+  //                      pos into B5, pad full_cap*16)
   //   [C2]               wide values           wide_cap*4 (i32)
   //   [D]                mv-exception ids      exc_cap*4 (i32, pad n)
   //   [E]                mv-exception payload  exc_cap*80
   //   [F]                intra ids             intra_cap*4 (i32, pad n)
-  //   [G]                intra payload         intra_cap*32
+  //   [G]                intra payload         intra_cap*16 (nibbles)
   const u32 n = n_mbs;
   const size_t sz = size_t(n) * 16 + size_t(stab_cap) * 4 +
-                    size_t(sparse_cap) * 20 + size_t(wide_cap) * 8 +
-                    size_t(exc_cap) * 84 + size_t(intra_cap) * 36;
+                    size_t(single_cap) * 4 + size_t(short_cap) * 12 +
+                    size_t(full_cap) * 20 + size_t(wide_cap) * 8 +
+                    size_t(exc_cap) * 84 + size_t(intra_cap) * 20;
   blob.assign(sz, 0);
   u8* p = blob.data();
 
@@ -380,31 +423,56 @@ void FrameTensors::build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
               std::min(slice_table.size(), size_t(stab_cap) * 4));
   p += size_t(stab_cap) * 4;
 
-  i32* ids = reinterpret_cast<i32*>(p);
-  const u32 n_sparse = std::min(u32(sparse_id.size()), sparse_cap);
-  for (u32 i = 0; i < sparse_cap; ++i) {
-    ids[i] = i < n_sparse ? i32(sparse_id[i]) : i32(n * 26);
-  }
-  p += size_t(sparse_cap) * 4;
+  u32* sgl = reinterpret_cast<u32*>(p);
+  const u32 n_single = std::min(u32(cls_single.size()), single_cap);
+  std::memcpy(sgl, cls_single.data(), size_t(n_single) * 4);
+  for (u32 i = n_single; i < single_cap; ++i) sgl[i] = u32(n * 26) << 12;
+  p += size_t(single_cap) * 4;
 
-  i8* l8 = reinterpret_cast<i8*>(p);
-  i32* wids = reinterpret_cast<i32*>(p + size_t(sparse_cap) * 16);
-  i32* wvals = wids + wide_cap;
-  for (u32 i = 0; i < wide_cap; ++i) {
-    wids[i] = i32(sparse_cap) * 16;  // device spare slot
-  }
-  u32 nw = 0;
-  for (u32 i = 0; i < n_sparse * 16; ++i) {
-    const i16 v = sparse_level[i];
-    if (v >= -128 && v <= 127) {
-      l8[i] = i8(v);
-    } else if (nw < wide_cap) {
-      wids[nw] = i32(i);
-      wvals[nw] = i32(v);
-      ++nw;
+  i32* sids = reinterpret_cast<i32*>(p);
+  i8* sl8 = reinterpret_cast<i8*>(p + size_t(short_cap) * 4);
+  const u32 n_short = std::min(u32(cls_short.size()), short_cap);
+  for (u32 i = 0; i < short_cap; ++i) {
+    if (i < n_short) {
+      const u32 e = cls_short[i];
+      sids[i] = i32(sparse_id[e]);
+      for (u32 k = 0; k < 8; ++k) {
+        sl8[i * 8 + k] = i8(sparse_level[size_t(e) * 16 + k]);
+      }
+    } else {
+      sids[i] = i32(n * 26);
     }
   }
-  p += size_t(sparse_cap) * 16 + size_t(wide_cap) * 8;
+  p += size_t(short_cap) * 12;
+
+  i32* ids = reinterpret_cast<i32*>(p);
+  i8* l8 = reinterpret_cast<i8*>(p + size_t(full_cap) * 4);
+  i32* wids = reinterpret_cast<i32*>(p + size_t(full_cap) * 20);
+  i32* wvals = wids + wide_cap;
+  for (u32 i = 0; i < wide_cap; ++i) {
+    wids[i] = i32(full_cap) * 16;  // device spare slot
+  }
+  const u32 n_full = std::min(u32(cls_full.size()), full_cap);
+  u32 nw = 0;
+  for (u32 i = 0; i < full_cap; ++i) {
+    if (i >= n_full) {
+      ids[i] = i32(n * 26);
+      continue;
+    }
+    const u32 e = cls_full[i];
+    ids[i] = i32(sparse_id[e]);
+    for (u32 k = 0; k < 16; ++k) {
+      const i16 v = sparse_level[size_t(e) * 16 + k];
+      if (v >= -128 && v <= 127) {
+        l8[i * 16 + k] = i8(v);
+      } else if (nw < wide_cap) {
+        wids[nw] = i32(i * 16 + k);
+        wvals[nw] = i32(v);
+        ++nw;
+      }
+    }
+  }
+  p += size_t(full_cap) * 20 + size_t(wide_cap) * 8;
 
   i32* eids = reinterpret_cast<i32*>(p);
   const u32 n_exc = std::min(u32(mv_exc_id.size()), exc_cap);
@@ -421,7 +489,7 @@ void FrameTensors::build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
     iids[i] = i < n_intra ? i32(intra_mbs[i]) : i32(n);
   }
   p += size_t(intra_cap) * 4;
-  std::memcpy(p, intra_payload.data(), size_t(n_intra) * 32);
+  std::memcpy(p, intra_payload.data(), size_t(n_intra) * 16);
 }
 
 void MbParser::configure(u32 width_mbs, u32 height_mbs) {

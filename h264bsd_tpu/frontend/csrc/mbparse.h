@@ -92,14 +92,24 @@ struct FrameTensors {
   // id u32 + payload mv i16[16][2] (64B) + ref u8[16]
   std::vector<u32> mv_exc_id;
   std::vector<u8> mv_exc_payload;  // 80 bytes per entry
-  // sparse intra payloads aligned with intra_mbs: modes u8[16]+avail u8[16]
+  // sparse intra payloads aligned with intra_mbs: 16 nibble-packed bytes
+  // per MB, byte j = i4_modes[j] | (i4_avail[j] << 4)
   std::vector<u8> intra_payload;
   void build_packed();
+  // transfer classification of the sparse residual stream (most blocks
+  // carry ONE coefficient; ~92% fit the first 8 raster positions):
+  //   single: u32 record (id << 12 | pos << 8 | (value & 0xFF)), 4 B
+  //   short:  id + first 8 levels as i8, 12 B
+  //   full:   id + 16 levels as i8 (+ wide escapes), 20 B
+  std::vector<u32> cls_single;           // packed records
+  std::vector<u32> cls_short, cls_full;  // indices into sparse_id
+  u32 cls_wide = 0;                      // escapes among full blocks
+  void classify_sparse();
   // single tier-padded transfer blob (see build_blob): one host->device
   // copy per frame instead of eight
   std::vector<u8> blob;
-  void build_blob(u32 sparse_cap, u32 wide_cap, u32 exc_cap,
-                  u32 intra_cap, u32 stab_cap);
+  void build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
+                  u32 wide_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap);
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 

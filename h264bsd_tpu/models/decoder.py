@@ -311,7 +311,7 @@ class Decoder:
 
         # tier selection so only a handful of step shapes ever compile;
         # the C++ side pads every sparse stream into one transfer blob
-        n_sparse, n_wide, n_exc, n_intra, n_slices = (
+        n_single, n_short, n_full, n_wide, n_exc, n_intra, n_slices = (
             int(x) for x in self._fe.blob_counts())
 
         def tier(length, tiers):
@@ -327,7 +327,9 @@ class Decoder:
                 out += [base << i, (base << i) + (base << i >> 1)]
             return tuple(out)
 
-        cap = tier(n_sparse, ladder(2048, 8) + (max(n_mbs * 26, 2048),))
+        sgl = tier(n_single, ladder(2048, 8) + (max(n_mbs * 26, 2048),))
+        sht = tier(n_short, ladder(1024, 8) + (max(n_mbs * 26, 1024),))
+        cap = tier(n_full, ladder(512, 8) + (max(n_mbs * 26, 512),))
         wcap = tier(n_wide, (64, 1024, 16384, max(cap * 16, 64)))
         ecap = tier(n_exc, ladder(256, 8) + (max(n_mbs, 256),))
         scap = tier(n_slices, (32, max(n_mbs, 32)))
@@ -335,7 +337,8 @@ class Decoder:
         # (I frames) -> anti-diagonal wavefront pass
         wavefront = n_intra > 512
         icap = tier(n_intra, (512, n_mbs) if not wavefront else (n_mbs,))
-        blob = self._fe.blob(cap, wcap, ecap, icap, scap)
+        caps = (sgl, sht, cap, wcap, ecap, icap, scap)
+        blob = self._fe.blob(*caps)
 
         ipcm = self._fe.ipcm()
 
@@ -357,7 +360,7 @@ class Decoder:
         used_slots = np.asarray((used + [used[0]] * cap_len)[:cap_len],
                                 np.int32)
         return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
-                    blob=blob, caps=(cap, wcap, ecap, icap, scap),
+                    blob=blob, caps=caps,
                     wavefront=wavefront, ipcm=ipcm,
                     non_existing=non_existing, mc_pallas=mc_pallas,
                     deblock_pallas=kernels_on, used_slots=used_slots)

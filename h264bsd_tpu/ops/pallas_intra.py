@@ -440,14 +440,14 @@ def intra_pass_pallas(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
             pl.BlockSpec((DG, 40), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W), lambda i: (0, 0),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
             pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
             pl.BlockSpec(rl.shape, lambda i: (0, 0)),
             pl.BlockSpec(rc.shape, lambda i: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((H, W), lambda i: (0, 0),
-                                memory_space=pltpu.ANY),
+                                memory_space=pl.ANY),
                    pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
                    pl.BlockSpec((Hc, Wc), lambda i: (0, 0))],
         scratch_shapes=[pltpu.VMEM((hp, wp), jnp.uint8),

@@ -75,13 +75,12 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     t["mv"] = mv
     t["ref_slot"] = ref
 
-    # dense intra modes/avail from the sparse payloads
-    i4m = jnp.zeros((n + 1, 16), jnp.uint8).at[intra_mbs].set(
-        intra_payload[:, :16], mode="drop")[:n]
-    i4a = jnp.zeros((n + 1, 16), jnp.uint8).at[intra_mbs].set(
-        intra_payload[:, 16:32], mode="drop")[:n]
-    t["i4_modes"] = i4m
-    t["i4_avail"] = i4a
+    # dense intra modes/avail from the nibble-packed sparse payloads
+    # (byte j = mode | avail << 4)
+    nib = jnp.zeros((n + 1, 16), jnp.uint8).at[intra_mbs].set(
+        intra_payload, mode="drop")[:n]
+    t["i4_modes"] = nib & 0xF
+    t["i4_avail"] = nib >> 4
     return t
 
 
@@ -95,14 +94,17 @@ def densify_residual(sparse_ids, sparse_levels, n_mbs):
     return buf[:, :24], buf[:, 24], buf[:, 25, :8]
 
 
-def unpack_blob(blob, n_mbs, sparse_cap, wide_cap, exc_cap, intra_cap,
-                stab_cap):
+def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
+                exc_cap, intra_cap, stab_cap):
     """Split the single transfer blob (FrameTensors::build_blob layout)
     into the eight streams; all offsets are static per tier combo.
 
-    Sparse levels travel as int8 (they almost always fit); the rare
-    out-of-range values arrive as a wide-escape list (flat position,
-    int32 value) scattered back over the widened int16 array here."""
+    The sparse residual arrives in three weight classes (the host
+    classifier cls_single/cls_short/cls_full): 4-byte single-coefficient
+    records (65% of 1080p blocks), 12-byte 8-level short blocks (~27%)
+    and 20-byte full blocks whose out-of-int8 values travel as a
+    wide-escape list. All three re-densify here into one (cap, 16) level
+    array so the downstream sparse transform is class-agnostic."""
     n = n_mbs
     off = 0
 
@@ -115,9 +117,27 @@ def unpack_blob(blob, n_mbs, sparse_cap, wide_cap, exc_cap, intra_cap,
     packed = take(n * 16)
     stab = lax.bitcast_convert_type(take(stab_cap * 4), jnp.int8) \
         .reshape(stab_cap, 4)
-    ids = lax.bitcast_convert_type(take(sparse_cap * 4).reshape(-1, 4),
+
+    # single records: u32 = id << 12 | pos << 8 | (value & 0xFF)
+    sgl = lax.bitcast_convert_type(take(single_cap * 4).reshape(-1, 4),
+                                   jnp.uint32)
+    sgl_ids = (sgl >> 12).astype(jnp.int32)
+    sgl_pos = ((sgl >> 8) & 15).astype(jnp.int32)
+    sgl_val = ((((sgl & 0xFF) ^ 0x80).astype(jnp.int32)) - 0x80) \
+        .astype(jnp.int16)
+    sgl_lv = jnp.zeros((single_cap, 16), jnp.int16).at[
+        jnp.arange(single_cap), sgl_pos].set(sgl_val)
+
+    sht_ids = lax.bitcast_convert_type(take(short_cap * 4).reshape(-1, 4),
+                                       jnp.int32)
+    sht8 = lax.bitcast_convert_type(take(short_cap * 8), jnp.int8) \
+        .reshape(short_cap, 8).astype(jnp.int16)
+    sht_lv = jnp.concatenate(
+        [sht8, jnp.zeros((short_cap, 8), jnp.int16)], axis=1)
+
+    ids = lax.bitcast_convert_type(take(full_cap * 4).reshape(-1, 4),
                                    jnp.int32)
-    lv8 = lax.bitcast_convert_type(take(sparse_cap * 16), jnp.int8)
+    lv8 = lax.bitcast_convert_type(take(full_cap * 16), jnp.int8)
     wide_ids = lax.bitcast_convert_type(take(wide_cap * 4).reshape(-1, 4),
                                         jnp.int32)
     wide_vals = lax.bitcast_convert_type(take(wide_cap * 4).reshape(-1, 4),
@@ -125,11 +145,15 @@ def unpack_blob(blob, n_mbs, sparse_cap, wide_cap, exc_cap, intra_cap,
     flat = jnp.concatenate([lv8.astype(jnp.int16),
                             jnp.zeros((1,), jnp.int16)])
     flat = flat.at[wide_ids].set(wide_vals.astype(jnp.int16))
-    levels = flat[:sparse_cap * 16].reshape(sparse_cap, 16)
+    full_lv = flat[:full_cap * 16].reshape(full_cap, 16)
+
+    all_ids = jnp.concatenate([sgl_ids, sht_ids, ids])
+    all_lv = jnp.concatenate([sgl_lv, sht_lv, full_lv])
+
     eids = lax.bitcast_convert_type(take(exc_cap * 4).reshape(-1, 4),
                                     jnp.int32)
     epay = take(exc_cap * 80).reshape(-1, 80)
     iids = lax.bitcast_convert_type(take(intra_cap * 4).reshape(-1, 4),
                                     jnp.int32)
-    ipay = take(intra_cap * 32).reshape(-1, 32)
-    return packed, stab, ids, levels, eids, epay, iids, ipay
+    ipay = take(intra_cap * 16).reshape(-1, 16)
+    return packed, stab, all_ids, all_lv, eids, epay, iids, ipay

@@ -137,20 +137,24 @@ class MultiStreamDecoder:
         n_mbs = g["width_mbs"] * g["height_mbs"]
         # shared tier caps for the round (same ladder as the single-stream
         # path so compiled shapes are shared with it where N matches)
-        mx = [max(c[k] for c, _, _ in ready.values()) for k in range(5)]
-        cap = _tier(mx[0], tuple(2048 << i for i in range(8)) +
+        mx = [max(c[k] for c, _, _ in ready.values()) for k in range(7)]
+        sgl = _tier(mx[0], tuple(2048 << i for i in range(8)) +
                     (max(n_mbs * 26, 2048),))
-        wcap = _tier(mx[1], (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = _tier(mx[2], tuple(256 << i for i in range(8)) +
+        sht = _tier(mx[1], tuple(1024 << i for i in range(8)) +
+                    (max(n_mbs * 26, 1024),))
+        cap = _tier(mx[2], tuple(512 << i for i in range(8)) +
+                    (max(n_mbs * 26, 512),))
+        wcap = _tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
+        ecap = _tier(mx[4], tuple(256 << i for i in range(8)) +
                      (max(n_mbs, 256),))
-        scap = _tier(mx[4], (32, max(n_mbs, 32)))
-        wavefront = mx[3] > 512
-        icap = _tier(mx[3], (512, n_mbs) if not wavefront else (n_mbs,))
-        caps = (cap, wcap, ecap, icap, scap)
+        scap = _tier(mx[6], (32, max(n_mbs, 32)))
+        wavefront = mx[5] > 512
+        icap = _tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
+        caps = (sgl, sht, cap, wcap, ecap, icap, scap)
 
         if caps not in self._zero_blob:
-            size = (n_mbs * 16 + scap * 4 + cap * 20 + wcap * 8 +
-                    ecap * 84 + icap * 36)
+            size = (n_mbs * 16 + scap * 4 + sgl * 4 + sht * 12 + cap * 20 +
+                    wcap * 8 + ecap * 84 + icap * 20)
             self._zero_blob[caps] = np.zeros(size, np.uint8)
         n_scratch = self.dpb[0].shape[1] - 1
 

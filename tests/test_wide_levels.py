@@ -52,7 +52,7 @@ def test_wide_escape_engages():
             pos += r
             if s == PIC_RDY:
                 counts = dec.blob_counts()
-                assert int(counts[1]) == expect_wide, level
+                assert int(counts[3]) == expect_wide, level
                 ids, lv = dec.sparse_residual()
                 assert list(ids) == [0]
                 assert int(lv[0][0]) == level

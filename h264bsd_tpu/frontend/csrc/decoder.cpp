@@ -493,11 +493,16 @@ u32 Decoder::decode_inner(const u8* data, u32 len, u32 pic_id,
     pic_info_.num_concealed_mbs = num_concealed_mbs_;
     pic_info_.slice_type = conceal_slice_type;
     if (num_concealed_mbs_ > 0) {
-      // I-type loss (and everything when intraConcealmentFlag is set,
-      // reference conceal.c:129-139 via storage.h:148) is concealed from
-      // neighbour pels; P-type loss copies from the reference picture
+      // Per-MB concealment follows the SLICE TYPE (ConcealMb
+      // conceal.c:319-345: P copies the co-located reference MB, I
+      // synthesizes from neighbour pels — refData is ignored for I).
+      // intraConcealmentFlag (storage.h:148, read at conceal.c:146-157
+      // and :173-176) only changes the whole-picture-lost case: a fully
+      // lost I picture copies the reference instead of going grey.
+      bool whole_lost = num_concealed_mbs_ >= pic_size_in_mbs_;
       pic_info_.conceal_from_ref =
-          is_p_slice(conceal_slice_type) && !intra_concealment_;
+          is_p_slice(conceal_slice_type) ||
+          (intra_concealment_ && whole_lost);
       if (pic_info_.conceal_from_ref) {
         // use reference picture with the smallest available index
         // (conceal.c:147-158)

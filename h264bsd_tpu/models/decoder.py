@@ -204,15 +204,22 @@ def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
 @partial(jax.jit, static_argnames=("full_range",))
 def _to_rgba(y, cb, cr, full_range=False):
     """BT.601 fixed-point YUV->RGBA (reference h264bsdConvertToRGBA
-    decoder.c:1163-1216; the fullRange variant uses the same math — the
-    reference ships one converter and leaves range handling to the caller)."""
-    h, w = y.shape
-    c = y.astype(jnp.int32) - 16
+    decoder.c:1163-1216). full_range applies the full-swing matrix for
+    streams whose VUI signals video_full_range_flag (vui.c; surfaced as
+    Decoder.video_full_range()) — the reference ships only the limited-
+    range converter and leaves range handling to the caller."""
     d = jnp.repeat(jnp.repeat(cb.astype(jnp.int32), 2, 0), 2, 1) - 128
     e = jnp.repeat(jnp.repeat(cr.astype(jnp.int32), 2, 0), 2, 1) - 128
-    r = jnp.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
-    g = jnp.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
-    b = jnp.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+    if full_range:
+        c = y.astype(jnp.int32)
+        r = jnp.clip((256 * c + 359 * e + 128) >> 8, 0, 255)
+        g = jnp.clip((256 * c - 88 * d - 183 * e + 128) >> 8, 0, 255)
+        b = jnp.clip((256 * c + 454 * d + 128) >> 8, 0, 255)
+    else:
+        c = y.astype(jnp.int32) - 16
+        r = jnp.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+        g = jnp.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+        b = jnp.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
     a = jnp.full_like(r, 255)
     return jnp.stack([r, g, b, a], axis=-1).astype(jnp.uint8)
 
@@ -260,8 +267,14 @@ class Decoder:
     """Reference-equivalent decoder instance (h264bsdAlloc+Init ->
     h264bsdDecode loop -> h264bsdShutdown)."""
 
-    def __init__(self, no_output_reordering: bool = False):
-        self._fe = fe.FrontendDecoder(no_output_reordering)
+    def __init__(self, no_output_reordering: bool = False,
+                 intra_concealment: bool = False):
+        """intra_concealment = the reference's intraConcealmentFlag
+        (h264bsd_storage.h:148-149; settable there only by poking the
+        struct): conceal P-picture losses from neighbour pels instead of
+        copying the reference picture (conceal.c:129-139)."""
+        self._fe = fe.FrontendDecoder(no_output_reordering,
+                                      intra_concealment)
         self._dpb = None           # (y, cb, cr) device arrays
         self._geom = None          # stream_info dict
         self._zero_pcm = None

@@ -80,6 +80,7 @@ RESILIENT_MAIN = r"""
 #include <stdlib.h>
 #include <string.h>
 #include "h264bsd_decoder.h"
+#include "h264bsd_storage.h"
 
 int main(int argc, char** argv) {
   if (argc != 3) return 2;
@@ -93,6 +94,11 @@ int main(int argc, char** argv) {
 
   storage_t* dec = h264bsdAlloc();
   h264bsdInit(dec, 0);
+#ifdef INTRA_CONCEAL
+  /* intraConcealmentFlag has no setter in the reference API; poke the
+   * struct (h264bsd_storage.h:148-149) */
+  dec->intraConcealmentFlag = 1;
+#endif
   u8* ptr = buf; long len = size;
   u32 readBytes = 0, picId, isIdr, numErrMbs;
   u32 w = 0, h = 0, cropFlag = 0, left = 0, top = 0;
@@ -121,17 +127,21 @@ int main(int argc, char** argv) {
 """
 
 
-def resilient_binary() -> Path:
+def resilient_binary(intra_conceal: bool = False) -> Path:
     """Reference-based oracle that keeps decoding past errors (exercises
-    concealment); see RESILIENT_MAIN."""
+    concealment); see RESILIENT_MAIN. With intra_conceal the oracle pokes
+    the reference's intraConcealmentFlag (storage.h:148-149) so P-picture
+    losses are concealed from neighbour pels."""
     WORK.mkdir(parents=True, exist_ok=True)
-    binary = WORK / "resilient_h264bsd"
+    tag = "_ic" if intra_conceal else ""
+    binary = WORK / f"resilient_h264bsd{tag}"
     if not binary.exists():
         main_c = WORK / "resilient_main.c"
         main_c.write_text(RESILIENT_MAIN)
         srcs = sorted(str(p) for p in (REFERENCE / "src").glob("*.c"))
+        defs = ["-DINTRA_CONCEAL=1"] if intra_conceal else []
         subprocess.run(
-            ["gcc", "-O2", "-std=gnu99", f"-I{REFERENCE}/src", *srcs,
+            ["gcc", "-O2", "-std=gnu99", *defs, f"-I{REFERENCE}/src", *srcs,
              str(main_c), "-o", str(binary)],
             check=True)
     return binary

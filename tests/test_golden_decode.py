@@ -25,10 +25,7 @@ def test_golden_quick(name):
     assert n == QUICK_FRAMES
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", ["640x360", "1920x1080",
-                                  "1920x1080_fullRange"])
-def test_golden_full(name):
+def _golden_full(name):
     data = stream_path(name).read_bytes()
     goldens = golden_frames(name)
     n = 0
@@ -36,6 +33,18 @@ def test_golden_full(name):
         assert truncate_frame(pic.yuv_bytes(), name) == goldens[i], f"frame {i}"
         n += 1
     assert n == len(goldens) == 73
+
+
+def test_golden_full_sd():
+    """All 73 frames of the SD stream, byte-compared — runs in CI (the
+    reference CI decodes a full stream per push, build.yml:10-27)."""
+    _golden_full("640x360")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["1920x1080", "1920x1080_fullRange"])
+def test_golden_full(name):
+    _golden_full(name)
 
 
 def test_metadata_surface():

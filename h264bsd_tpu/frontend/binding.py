@@ -46,7 +46,7 @@ def _configure(L: ct.CDLL) -> None:
     L.h264tpu_blob.restype = ct.c_void_p
     L.h264tpu_blob.argtypes = [
         ct.c_void_p, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
-        ct.c_uint32, ct.c_uint32, ct.c_uint32,
+        ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ct.POINTER(ct.c_uint64)]
     L.h264tpu_flush_buffer.restype = None
@@ -260,19 +260,19 @@ class FrontendDecoder:
         records."""
         counts = np.zeros(7, np.uint32)
         size = ct.c_uint64(0)
-        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, 0, 0, 0, counts,
+        self._lib.h264tpu_blob(self._h, 0, 0, 0, 0, 0, 0, 0, 0, counts,
                                ct.byref(size))
         return counts
 
     def blob(self, single_cap, short_cap, full_cap, wide_cap, exc_cap,
-             intra_cap, stab_cap) -> np.ndarray:
+             intra_cap, stab_cap, sid_cap) -> np.ndarray:
         """Tier-padded single transfer blob (layout: build_blob,
         mbparse.cpp)."""
         counts = np.zeros(7, np.uint32)
         size = ct.c_uint64(0)
         ptr = self._lib.h264tpu_blob(self._h, single_cap, short_cap,
                                      full_cap, wide_cap, exc_cap,
-                                     intra_cap, stab_cap, counts,
+                                     intra_cap, stab_cap, sid_cap, counts,
                                      ct.byref(size))
         buf = (ct.c_char * size.value).from_address(ptr)
         # copy: the C++ blob buffer is reused by the next frame while this
@@ -283,9 +283,10 @@ class FrontendDecoder:
         return self._raw(26, np.int8).reshape(-1, 4)
 
     def mv_exceptions(self):
-        """(ids u32[N], payload u8[N,80]: mv i16[16][2] + ref u8[16])."""
+        """(ids u32[N], payload u8[N,64]: 16 packed u32 blocks,
+        x13 | y13<<13 | (ref+1)<<26)."""
         ids = self._raw(27, np.uint32)
-        payload = self._raw(28, np.uint8).reshape(-1, 80)
+        payload = self._raw(28, np.uint8).reshape(-1, 64)
         return ids, payload
 
     def intra_payload(self) -> np.ndarray:

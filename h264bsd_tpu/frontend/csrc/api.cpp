@@ -136,8 +136,8 @@ const void* h264tpu_packed(void* inst, u64* size_bytes) {
 // n_slices] (the caller picks tier caps from these).
 const void* h264tpu_blob(void* inst, u32 single_cap, u32 short_cap,
                          u32 full_cap, u32 wide_cap, u32 exc_cap,
-                         u32 intra_cap, u32 stab_cap, u32* out_counts7,
-                         u64* size_bytes) {
+                         u32 intra_cap, u32 stab_cap, u32 sid_cap,
+                         u32* out_counts7, u64* size_bytes) {
   FrameTensors& t = const_cast<FrameTensors&>(
       static_cast<Decoder*>(inst)->tensors());
   t.build_packed();
@@ -154,7 +154,7 @@ const void* h264tpu_blob(void* inst, u32 single_cap, u32 short_cap,
     return nullptr;
   }
   t.build_blob(single_cap, short_cap, full_cap, wide_cap, exc_cap,
-               intra_cap, stab_cap);
+               intra_cap, stab_cap, sid_cap);
   *size_bytes = t.blob.size();
   return t.blob.data();
 }

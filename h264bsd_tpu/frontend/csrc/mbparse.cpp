@@ -263,14 +263,17 @@ void FrameTensors::clear_picture() {
 }
 
 void FrameTensors::build_packed() {
-  // compact 16-byte per-MB record (AoS, device does the SoA split):
-  //   u16 slice_idx | u8 qp | u8 flags(class|disable<<3|avail<<5) |
+  // compact 12-byte per-MB record (AoS, device does the SoA split):
+  //   u8 qp | u8 flags(class|disable<<3|avail<<5) |
   //   u8 modes(i16_mode|chroma<<2) | u8 ref_base | i16 mv_base[2] |
   //   u32 nnz_mask(bits 0..23 blocks, 24..26 DC)
-  // plus: per-slice table (offsets), sparse MV/ref exceptions for the
-  // ~6% of MBs with per-block motion, sparse intra mode payloads.
+  // slice-table indices go to the side vector slice_ids, transferred
+  // only for multi-slice pictures. Plus: per-slice table (offsets),
+  // sparse MV/ref exceptions for the ~6% of MBs with per-block motion,
+  // sparse intra mode payloads.
   const u32 n = n_mbs;
-  packed.assign(size_t(n) * 16, 0);
+  packed.assign(size_t(n) * 12, 0);
+  slice_ids.assign(n, 0);
   slice_table.clear();
   mv_exc_id.clear();
   mv_exc_payload.clear();
@@ -309,22 +312,21 @@ void FrameTensors::build_packed() {
   };
 
   for (u32 i = 0; i < n; ++i) {
-    u8* p = packed.data() + size_t(i) * 16;
-    u16 sidx = slice_index(i);
-    std::memcpy(p, &sidx, 2);
-    p[2] = qp_y[i];
+    u8* p = packed.data() + size_t(i) * 12;
+    slice_ids[i] = slice_index(i);
+    p[0] = qp_y[i];
     // avail bits A|B|D remapped to 3 bits (D: bit 3 -> bit 2)
     u8 av3 = u8((mb_avail[i] & 3) | ((mb_avail[i] >> 3) << 2));
-    p[3] = u8(mb_class[i] | (disable_dblk[i] << 3) | (av3 << 5));
-    p[4] = u8(i16_mode[i] | (chroma_mode[i] << 2));
-    p[5] = u8(ref_slot[i * 16]);
-    std::memcpy(p + 6, &mv[i * 32], 4);  // block 0 mv
+    p[1] = u8(mb_class[i] | (disable_dblk[i] << 3) | (av3 << 5));
+    p[2] = u8(i16_mode[i] | (chroma_mode[i] << 2));
+    p[3] = u8(ref_slot[i * 16]);
+    std::memcpy(p + 4, &mv[i * 32], 4);  // block 0 mv
     u32 mask = 0;
     for (u32 b = 0; b < 24; ++b) mask |= u32(nnz[i * 24 + b] != 0) << b;
     mask |= u32(nnz_dc[i * 3 + 0] != 0) << 24;
     mask |= u32(nnz_dc[i * 3 + 1] != 0) << 25;
     mask |= u32(nnz_dc[i * 3 + 2] != 0) << 26;
-    std::memcpy(p + 12, &mask, 4);
+    std::memcpy(p + 8, &mask, 4);
 
     // per-block motion exception when any block differs from block 0
     const i16* m = &mv[i * 32];
@@ -335,11 +337,14 @@ void FrameTensors::build_packed() {
     }
     if (!uniform) {
       mv_exc_id.push_back(i);
-      const u8* mb_bytes = reinterpret_cast<const u8*>(m);
-      mv_exc_payload.insert(mv_exc_payload.end(), mb_bytes, mb_bytes + 64);
-      mv_exc_payload.insert(mv_exc_payload.end(),
-                            reinterpret_cast<const u8*>(r),
-                            reinterpret_cast<const u8*>(r) + 16);
+      u32 blocks[16];
+      for (u32 b = 0; b < 16; ++b) {
+        blocks[b] = (u32(m[2 * b]) & 0x1FFF) |
+                    ((u32(m[2 * b + 1]) & 0x1FFF) << 13) |
+                    ((u32(u8(r[b] + 1)) & 0x3F) << 26);
+      }
+      const u8* pb = reinterpret_cast<const u8*>(blocks);
+      mv_exc_payload.insert(mv_exc_payload.end(), pb, pb + 64);
     }
 
     if (mb_class[i] == kMbIntra4 || mb_class[i] == kMbIntra16) {
@@ -391,10 +396,12 @@ void FrameTensors::classify_sparse() {
 
 void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
                               u32 wide_cap, u32 exc_cap, u32 intra_cap,
-                              u32 stab_cap) {
+                              u32 stab_cap, u32 sid_cap) {
   // layout (every section tier-padded so device offsets are static):
-  //   [0]                packed records        n*16 B
+  //   [0]                packed records        n*12 B
   //   [A]                slice table           stab_cap*4 (i8)
+  //   [A2]               slice-table indices   sid_cap*2 (u16; sid_cap is
+  //                      0 for single-slice pictures, n otherwise)
   //   [B1]               single records        single_cap*4 (u32 =
   //                      id<<12|pos<<8|value; pad id n*26)
   //   [B2]               short ids             short_cap*4 (i32, pad n*26)
@@ -406,22 +413,29 @@ void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
   //                      pos into B5, pad full_cap*16)
   //   [C2]               wide values           wide_cap*4 (i32)
   //   [D]                mv-exception ids      exc_cap*4 (i32, pad n)
-  //   [E]                mv-exception payload  exc_cap*80
+  //   [E]                mv-exception payload  exc_cap*64 (16 packed u32
+  //                      blocks: x|y<<13|(ref+1)<<26)
   //   [F]                intra ids             intra_cap*4 (i32, pad n)
   //   [G]                intra payload         intra_cap*16 (nibbles)
   const u32 n = n_mbs;
-  const size_t sz = size_t(n) * 16 + size_t(stab_cap) * 4 +
-                    size_t(single_cap) * 4 + size_t(short_cap) * 12 +
-                    size_t(full_cap) * 20 + size_t(wide_cap) * 8 +
-                    size_t(exc_cap) * 84 + size_t(intra_cap) * 20;
+  const size_t sz = size_t(n) * 12 + size_t(stab_cap) * 4 +
+                    size_t(sid_cap) * 2 + size_t(single_cap) * 4 +
+                    size_t(short_cap) * 12 + size_t(full_cap) * 20 +
+                    size_t(wide_cap) * 8 + size_t(exc_cap) * 68 +
+                    size_t(intra_cap) * 20;
   blob.assign(sz, 0);
   u8* p = blob.data();
 
   std::memcpy(p, packed.data(), packed.size());
-  p += size_t(n) * 16;
+  p += size_t(n) * 12;
   std::memcpy(p, slice_table.data(),
               std::min(slice_table.size(), size_t(stab_cap) * 4));
   p += size_t(stab_cap) * 4;
+  if (sid_cap) {
+    std::memcpy(p, slice_ids.data(),
+                std::min(size_t(n), size_t(sid_cap)) * 2);
+    p += size_t(sid_cap) * 2;
+  }
 
   u32* sgl = reinterpret_cast<u32*>(p);
   const u32 n_single = std::min(u32(cls_single.size()), single_cap);
@@ -480,8 +494,8 @@ void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
     eids[i] = i < n_exc ? i32(mv_exc_id[i]) : i32(n);
   }
   p += size_t(exc_cap) * 4;
-  std::memcpy(p, mv_exc_payload.data(), size_t(n_exc) * 80);
-  p += size_t(exc_cap) * 80;
+  std::memcpy(p, mv_exc_payload.data(), size_t(n_exc) * 64);
+  p += size_t(exc_cap) * 64;
 
   i32* iids = reinterpret_cast<i32*>(p);
   const u32 n_intra = std::min(u32(intra_mbs.size()), intra_cap);

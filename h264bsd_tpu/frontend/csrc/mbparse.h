@@ -83,15 +83,20 @@ struct FrameTensors {
   u32 sparse_wide = 0;  // levels outside i8 range (escape entries in blob)
 
   // single-buffer packed per-MB metadata for one-shot host->device
-  // transfer; 16 bytes per MB, see build_packed()
+  // transfer; 12 bytes per MB, see build_packed()
   std::vector<u8> packed;
+  // dense per-MB slice-table indices; sent only for multi-slice pictures
+  // (single-slice pictures reconstruct index 0 on device)
+  std::vector<u16> slice_ids;
   // per-slice parameter table: one i8[4] row per slice id used this
   // picture: [filter_off_a, filter_off_b, chroma_qp_offset, 0]
   std::vector<i8> slice_table;
   // sparse per-block MV/ref exceptions (MBs whose partitions differ):
-  // id u32 + payload mv i16[16][2] (64B) + ref u8[16]
+  // id u32 + 16 packed u32 blocks (x 13 bits | y 13 bits << 13 |
+  // (ref+1) 6 bits << 26; MV ranges are [-2048, 2047] / [-512, 511]
+  // quarter-pel, inter_prediction.c:537-544)
   std::vector<u32> mv_exc_id;
-  std::vector<u8> mv_exc_payload;  // 80 bytes per entry
+  std::vector<u8> mv_exc_payload;  // 64 bytes per entry
   // sparse intra payloads aligned with intra_mbs: 16 nibble-packed bytes
   // per MB, byte j = i4_modes[j] | (i4_avail[j] << 4)
   std::vector<u8> intra_payload;
@@ -109,7 +114,8 @@ struct FrameTensors {
   // copy per frame instead of eight
   std::vector<u8> blob;
   void build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
-                  u32 wide_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap);
+                  u32 wide_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap,
+                  u32 sid_cap);
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 

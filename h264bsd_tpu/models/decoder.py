@@ -56,14 +56,14 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     from ..ops.unpack import unpack_blob
     n_mbs = width_mbs * height_mbs
     (packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
-     mv_exc_payload, intra_mbs, intra_payload) = unpack_blob(
+     mv_exc_payload, intra_mbs, intra_payload, slice_ids) = unpack_blob(
         blob, n_mbs, *caps)
     y, cb, cr, tensors = reconstruct_frame_fast(
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
         used_slots=used_slots, mc_pallas=mc_pallas,
-        intra_pallas=deblock_pallas)
+        intra_pallas=deblock_pallas, slice_ids=slice_ids)
 
     # concealment of lost MBs (mb_class 6). P-type loss copies the
     # co-located MB from the first available reference (ConcealMb
@@ -170,14 +170,14 @@ def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     from ..ops.unpack import unpack_blob
     n_mbs = width_mbs * height_mbs
     (packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
-     mv_exc_payload, intra_mbs, intra_payload) = unpack_blob(
+     mv_exc_payload, intra_mbs, intra_payload, slice_ids) = unpack_blob(
         blob, n_mbs, *caps)
     y, cb, cr, _ = reconstruct_frame_fast(
         packed, slice_table, sparse_ids, sparse_levels, mv_exc_ids,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
         used_slots=used_slots, mc_pallas=mc_pallas,
-        intra_pallas=deblock_pallas)
+        intra_pallas=deblock_pallas, slice_ids=slice_ids)
     return y, cb, cr
 
 
@@ -189,9 +189,9 @@ def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
     from ..ops.unpack import unpack_blob, unpack_meta
     n_mbs = width_mbs * height_mbs
     (packed, slice_table, _, _, mv_exc_ids, mv_exc_payload, intra_mbs,
-     intra_payload) = unpack_blob(blob, n_mbs, *caps)
+     intra_payload, slice_ids) = unpack_blob(blob, n_mbs, *caps)
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                    intra_mbs, intra_payload, n_mbs)
+                    intra_mbs, intra_payload, n_mbs, slice_ids)
     dblk = deblock_frame_wavefront if deblock_pallas else deblock_frame
     y, cb, cr = dblk(
         y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
@@ -275,6 +275,9 @@ class Decoder:
         copying the reference picture (conceal.c:129-139)."""
         self._fe = fe.FrontendDecoder(no_output_reordering,
                                       intra_concealment)
+        # sticky-caps history per (wavefront,) class: recent frames' raw
+        # counts, so consecutive frames share one caps tuple (see _prepare)
+        self._cap_hist = {}
         self._dpb = None           # (y, cb, cr) device arrays
         self._geom = None          # stream_info dict
         self._zero_pcm = None
@@ -340,17 +343,33 @@ class Decoder:
                 out += [base << i, (base << i) + (base << i >> 1)]
             return tuple(out)
 
-        sgl = tier(n_single, ladder(2048, 8) + (max(n_mbs * 26, 2048),))
-        sht = tier(n_short, ladder(1024, 8) + (max(n_mbs * 26, 1024),))
-        cap = tier(n_full, ladder(512, 8) + (max(n_mbs * 26, 512),))
-        wcap = tier(n_wide, (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = tier(n_exc, ladder(256, 8) + (max(n_mbs, 256),))
-        scap = tier(n_slices, (32, max(n_mbs, 32)))
         # sparse intra (typical P frame) -> padded-list pass; intra-heavy
         # (I frames) -> anti-diagonal wavefront pass
         wavefront = n_intra > 512
-        icap = tier(n_intra, (512, n_mbs) if not wavefront else (n_mbs,))
-        caps = (sgl, sht, cap, wcap, ecap, icap, scap)
+
+        # STICKY caps: tier over the max counts of the last 8 frames of
+        # this wavefront class, not this frame alone. Per-frame tiering
+        # makes consecutive frames land in different caps tuples, which
+        # breaks the multi-frame window dispatch (one tunnel round trip
+        # per window instead of per frame — the round trip, ~9 ms on the
+        # tunneled link, dominates the frame budget). The 8-frame max
+        # decays I-frame spikes after one window.
+        hist = self._cap_hist.setdefault(wavefront, [])
+        hist.append((n_single, n_short, n_full, n_wide, n_exc, n_intra,
+                     n_slices))
+        del hist[:-8]
+        mx = [max(h[k] for h in hist) for k in range(7)]
+
+        sgl = tier(mx[0], ladder(2048, 8) + (max(n_mbs * 26, 2048),))
+        sht = tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
+        cap = tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
+        wcap = tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
+        ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
+        scap = tier(mx[6], (32, max(n_mbs, 32)))
+        icap = tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
+        # dense per-MB slice ids travel only for multi-slice pictures
+        sidcap = 0 if mx[6] <= 1 else n_mbs
+        caps = (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
         blob = self._fe.blob(*caps)
 
         ipcm = self._fe.ipcm()
@@ -426,7 +445,7 @@ class Decoder:
             crn = np.asarray(rcr).copy()
             # derive from the frame's own blob (the parser may already be
             # ahead on the pipelined producer thread)
-            mb_class = prep["blob"][:n_mbs * 16].reshape(n_mbs, 16)[:, 3] & 7
+            mb_class = prep["blob"][:n_mbs * 12].reshape(n_mbs, 12)[:, 1] & 7
             decoded = mb_class != 6
             conceal_picture(yn, cbn, crn, decoded, prep["w_mbs"],
                             prep["h_mbs"], bool(info["conceal_from_ref"]),
@@ -657,7 +676,7 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     # of this window still references (the post-window ring snapshot
     # must stay valid for every yielded picture).
     import os
-    WINDOW = int(os.environ.get("H264TPU_WINDOW", "1"))
+    WINDOW = int(os.environ.get("H264TPU_WINDOW", "8"))
     window: list = []          # [(prep, outs)]
     out_slots: set = set()     # slots referenced by pending outputs
 
@@ -674,13 +693,17 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
                 and prep["info"]["slot"] not in out_slots)
 
     def flush():
+        """Dispatch the pending window and materialize its output pictures
+        IMMEDIATELY (the snapshot must be taken before anything else
+        writes the ring: a following non-windowable frame may reuse a
+        slot a flushed output still references)."""
         if not window:
             return []
         dec._submit_window([w[0] for w in window])
         outs = [o for _, os_ in window for o in os_]
         window.clear()
         out_slots.clear()
-        return outs
+        return [dec._make_output(o) for o in outs]
 
     done = False
     while not done:
@@ -697,15 +720,15 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
                 if not dec._windowable(prep):
                     ready = flush()
                     dec._submit(prep)
-                    ready += outs
+                    ready += [dec._make_output(o) for o in outs]
                 else:
                     ready = flush() if not compatible(prep) else []
                     window.append((prep, outs))
                     out_slots.update(o["slot"] for o in outs)
                     if len(window) >= WINDOW:
                         ready += flush()
-            for o in ready:
-                yield dec._make_output(o)
+            for pic in ready:
+                yield pic
                 n_out += 1
                 if max_pictures is not None and n_out >= max_pictures:
                     return
@@ -716,8 +739,8 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
             except queue.Empty:
                 # nothing parsed ahead: dispatch what we have rather
                 # than idle the device waiting for a fuller window
-                for o in flush():
-                    yield dec._make_output(o)
+                for pic in flush():
+                    yield pic
                     n_out += 1
                     if max_pictures is not None and n_out >= max_pictures:
                         return

@@ -112,7 +112,7 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                            dpb_y, dpb_cb, dpb_cr,
                            width_mbs, height_mbs, intra_wavefront=False,
                            used_slots=None, mc_pallas=False,
-                           intra_pallas=False):
+                           intra_pallas=False, slice_ids=None):
     """Transfer-optimized variant: unpack the single metadata buffer and the
     sparse residual stream on device, then run the same phase passes. The
     intra stage either iterates the (padded) intra-MB list (sparse intra,
@@ -127,7 +127,7 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
 
     n_mb = width_mbs * height_mbs
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                    intra_mbs, intra_payload, n_mb)
+                    intra_mbs, intra_payload, n_mb, slice_ids)
     mb_class = t["mb_class"].astype(jnp.int32)
 
     # sparse-domain dequant+IDCT: only the non-empty blocks are

@@ -1,11 +1,16 @@
 """Device-side unpacking of the host front-end's compact transfer format.
 
 Per frame the host sends (sizes for a typical 1080p P frame):
-  * packed per-MB records, 16 B/MB (~130 KB)  - build_packed(), mbparse.cpp
-  * per-slice parameter table (few rows)
-  * sparse residual stream (~3% density, ~190 KB)
-  * sparse MV/ref exception records (~6% of MBs, ~40 KB)
-  * sparse intra payloads (modes+avail for intra MBs only)
+  * packed per-MB records, 12 B/MB (~98 KB)   - build_packed(), mbparse.cpp
+  * per-slice parameter table (few rows) + dense per-MB slice-table
+    indices ONLY for multi-slice pictures (slice ids are not derivable on
+    device under FMO, where slices interleave over the MB grid)
+  * weight-classed sparse residual stream (~3% density, ~70 KB: 65% of
+    blocks are 4-byte single-coefficient records, ~27% 12-byte short
+    blocks, the rest 20-byte full blocks)
+  * sparse MV/ref exception records (68 B per exception MB: 16 packed
+    u32 blocks x13|y13|(ref+1)<<26, ~6% of MBs)
+  * nibble-packed intra payloads (mode|avail<<4 per block, intra MBs only)
 vs ~9 MB of dense tensors — host->device bandwidth through the chip
 interconnect is the decode pipeline's scarcest resource. Everything is
 re-densified on device inside the jitted step.
@@ -23,29 +28,33 @@ def _bitcast(u8s, dtype, per):
 
 
 def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                intra_mbs, intra_payload, n_mbs):
+                intra_mbs, intra_payload, n_mbs, slice_ids=None):
     """Rebuild the per-MB tensor dict from the compact streams.
 
-    packed: (nMB*16,) u8; slice_table: (S,4) i8; mv_exc_*: sparse per-block
-    motion; intra_*: sparse intra modes. Padding entries use id == n_mbs
-    (scattered into a spare row).
+    packed: (nMB*12,) u8; slice_table: (S,4) i8; slice_ids: (nMB,) u16
+    table indices (None/size-0 for single-slice pictures -> all index 0);
+    mv_exc_*: sparse per-block motion; intra_*: sparse intra modes.
+    Padding entries use id == n_mbs (scattered into a spare row).
     """
     n = n_mbs
-    rec = packed.reshape(n, 16)
+    rec = packed.reshape(n, 12)
     t = {}
-    t["slice_id"] = _bitcast(rec[:, 0:2], jnp.uint16, 2)[:, 0].astype(jnp.uint32)
-    t["qp_y"] = rec[:, 2]
-    flags = rec[:, 3].astype(jnp.int32)
+    if slice_ids is None or slice_ids.shape[0] == 0:
+        t["slice_id"] = jnp.zeros((n,), jnp.uint32)
+    else:
+        t["slice_id"] = slice_ids.astype(jnp.uint32)
+    t["qp_y"] = rec[:, 0]
+    flags = rec[:, 1].astype(jnp.int32)
     t["mb_class"] = (flags & 7).astype(jnp.uint8)
     t["disable_dblk"] = ((flags >> 3) & 3).astype(jnp.uint8)
     av3 = (flags >> 5) & 7
     t["mb_avail"] = ((av3 & 3) | ((av3 >> 2) << 3)).astype(jnp.int32)
-    modes = rec[:, 4].astype(jnp.int32)
+    modes = rec[:, 2].astype(jnp.int32)
     t["i16_mode"] = modes & 3
     t["chroma_mode"] = (modes >> 2) & 3
-    ref_base = rec[:, 5].astype(jnp.int8)
-    mv_base = _bitcast(rec[:, 6:10], jnp.int16, 2)  # (n, 2)
-    nnz_mask = _bitcast(rec[:, 12:16], jnp.uint32, 4)[:, 0]
+    ref_base = rec[:, 3].astype(jnp.int8)
+    mv_base = _bitcast(rec[:, 4:8], jnp.int16, 2)  # (n, 2)
+    nnz_mask = _bitcast(rec[:, 8:12], jnp.uint32, 4)[:, 0]
     t["nnz"] = ((nnz_mask[:, None] >> jnp.arange(24)[None, :]) & 1).astype(
         jnp.int32)
     t["nnz_dc"] = ((nnz_mask[:, None] >> (24 + jnp.arange(3))[None, :]) & 1
@@ -63,11 +72,15 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     t["chroma_qp_offset"] = row[:, 2]
 
     # dense MV/ref: broadcast the base, scatter the exceptions
+    # (16 packed u32 blocks per exception MB: x13 | y13<<13 | (ref+1)<<26)
     mv = jnp.broadcast_to(mv_base[:, None, :], (n, 16, 2))
     ref = jnp.broadcast_to(ref_base[:, None], (n, 16))
-    exc_mv = lax.bitcast_convert_type(
-        mv_exc_payload[:, :64].reshape(-1, 16, 2, 2), jnp.int16)
-    exc_ref = mv_exc_payload[:, 64:80].astype(jnp.int8)
+    pk = lax.bitcast_convert_type(
+        mv_exc_payload.reshape(-1, 16, 4), jnp.uint32)
+    sext13 = lambda v: ((v & 0x1FFF) ^ 0x1000).astype(jnp.int32) - 0x1000
+    exc_mv = jnp.stack([sext13(pk), sext13(pk >> 13)],
+                       axis=-1).astype(jnp.int16)
+    exc_ref = (((pk >> 26) & 0x3F).astype(jnp.int32) - 1).astype(jnp.int8)
     mv = jnp.concatenate([mv, jnp.zeros((1, 16, 2), mv.dtype)]) \
         .at[mv_exc_ids].set(exc_mv, mode="drop")[:n]
     ref = jnp.concatenate([ref, jnp.zeros((1, 16), ref.dtype)]) \
@@ -95,7 +108,7 @@ def densify_residual(sparse_ids, sparse_levels, n_mbs):
 
 
 def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
-                exc_cap, intra_cap, stab_cap):
+                exc_cap, intra_cap, stab_cap, sid_cap=0):
     """Split the single transfer blob (FrameTensors::build_blob layout)
     into the eight streams; all offsets are static per tier combo.
 
@@ -114,9 +127,11 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
         off += count
         return out
 
-    packed = take(n * 16)
+    packed = take(n * 12)
     stab = lax.bitcast_convert_type(take(stab_cap * 4), jnp.int8) \
         .reshape(stab_cap, 4)
+    sids = lax.bitcast_convert_type(
+        take(sid_cap * 2).reshape(-1, 2), jnp.uint16) if sid_cap else None
 
     # single records: u32 = id << 12 | pos << 8 | (value & 0xFF)
     sgl = lax.bitcast_convert_type(take(single_cap * 4).reshape(-1, 4),
@@ -152,8 +167,8 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
 
     eids = lax.bitcast_convert_type(take(exc_cap * 4).reshape(-1, 4),
                                     jnp.int32)
-    epay = take(exc_cap * 80).reshape(-1, 80)
+    epay = take(exc_cap * 64).reshape(-1, 64)
     iids = lax.bitcast_convert_type(take(intra_cap * 4).reshape(-1, 4),
                                     jnp.int32)
     ipay = take(intra_cap * 16).reshape(-1, 16)
-    return packed, stab, all_ids, all_lv, eids, epay, iids, ipay
+    return packed, stab, all_ids, all_lv, eids, epay, iids, ipay, sids

@@ -150,11 +150,12 @@ class MultiStreamDecoder:
         scap = _tier(mx[6], (32, max(n_mbs, 32)))
         wavefront = mx[5] > 512
         icap = _tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
-        caps = (sgl, sht, cap, wcap, ecap, icap, scap)
+        sidcap = 0 if mx[6] <= 1 else n_mbs
+        caps = (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
 
         if caps not in self._zero_blob:
-            size = (n_mbs * 16 + scap * 4 + sgl * 4 + sht * 12 + cap * 20 +
-                    wcap * 8 + ecap * 84 + icap * 20)
+            size = (n_mbs * 12 + scap * 4 + sidcap * 2 + sgl * 4 +
+                    sht * 12 + cap * 20 + wcap * 8 + ecap * 68 + icap * 20)
             self._zero_blob[caps] = np.zeros(size, np.uint8)
         n_scratch = self.dpb[0].shape[1] - 1
 
@@ -275,7 +276,7 @@ class MultiStreamDecoder:
         yn = np.asarray(ry).copy()
         cbn = np.asarray(rcb).copy()
         crn = np.asarray(rcr).copy()
-        mb_class = blob_np[:n_mbs * 16].reshape(n_mbs, 16)[:, 3] & 7
+        mb_class = blob_np[:n_mbs * 12].reshape(n_mbs, 12)[:, 1] & 7
         decoded = mb_class != 6
         conceal_picture(yn, cbn, crn, decoded, w_mbs, h_mbs,
                         bool(info["conceal_from_ref"]), None)

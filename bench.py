@@ -4,11 +4,64 @@ vs the reference decoder (BASELINE.json metric).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the ratio to the measured scalar-C reference fps on this
 machine's CPU (see BASELINE.md; re-measured here for honesty).
+
+Timeout-survivable by construction (the round-2 bench died compiling and
+salvaged nothing):
+ - every stage logs progress to stderr with a wall-clock stamp;
+ - a watchdog THREAD (immune to the main thread being stuck inside a
+   C++/XLA compile call) emits the best-so-far JSON and exits when the
+   wall-clock budget (H264TPU_BENCH_BUDGET, default 1200 s) runs out;
+ - SIGTERM/SIGINT/SIGHUP handlers emit the best-so-far JSON before dying,
+   so a driver-side `timeout` still leaves evidence;
+ - bit-exactness checksums are fetched in small batches during the
+   verification pass, so a partial pass still verifies its prefix;
+ - the JSON value is only promoted to a timed fps once the decoded
+   frames' device checksums match the reference goldens byte-for-byte
+   (prefix-verified frames gate the cold-pass salvage number).
 """
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
+
+BUDGET = float(os.environ.get("H264TPU_BENCH_BUDGET", "1200"))
+T0 = time.monotonic()
+RESULT = {
+    "metric": "fps_per_chip_1080p_bitexact",
+    "value": 0.0,
+    "unit": "frames/sec",
+    "vs_baseline": 0.0,
+}
+_emitted = threading.Event()
+
+
+def log(msg: str) -> None:
+    print(f"bench[{time.monotonic() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def emit_once() -> None:
+    if not _emitted.is_set():
+        _emitted.set()
+        print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):
+    log(f"signal {signum}: emitting best-so-far and exiting")
+    emit_once()
+    os._exit(0)
+
+
+def _watchdog():
+    while True:
+        time.sleep(5)
+        if time.monotonic() - T0 > BUDGET:
+            log(f"budget {BUDGET:.0f}s exceeded: emitting best-so-far")
+            emit_once()
+            os._exit(0)
 
 
 def enable_compile_cache() -> None:
@@ -53,29 +106,105 @@ def warm_up_transfer() -> None:
 
 
 def main() -> None:
+    for s in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(s, _on_signal)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     stream = "1920x1080"
     n_frames = 73
+    log("enabling compile cache + opening transfer path")
     enable_compile_cache()
     warm_up_transfer()
     ref_fps = measure_reference_fps(stream, n_frames)
+    log(f"reference scalar-C fps on this host CPU: {ref_fps:.2f}")
 
-    try:
-        from h264bsd_tpu.models.decoder import benchmark_decode
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from h264bsd_tpu.models.decoder import (_frame_checksum_device,
+                                            decode_stream,
+                                            frame_checksum_host,
+                                            pin_caps_for_stream)
+    from h264bsd_tpu.utils import golden
 
-        fps, bit_exact = benchmark_decode(stream)
-        if not bit_exact:
-            fps = 0.0
-    except Exception as exc:  # decoder not complete yet
-        print(f"bench: decode path unavailable: {exc}", file=sys.stderr)
-        fps = 0.0
+    data = golden.stream_path(stream).read_bytes()
+    goldens = golden.golden_frames(stream)
+    want = [frame_checksum_host(g) for g in goldens]
+    n_trunc = len(goldens[0])
 
-    print(json.dumps({
-        "metric": "fps_per_chip_1080p_bitexact",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / ref_fps, 3) if ref_fps else 0.0,
-    }))
+    # dry parse (host C++ only) pins one caps tuple per frame class, so
+    # the decode compiles a bounded, known-up-front set of XLA programs
+    pin = pin_caps_for_stream(data)
+    log(f"caps pinned from dry parse: {pin}")
+
+    # Verification pass (untimed): device checksums vs golden checksums,
+    # fetched in 16-frame batches so a timeout mid-pass still leaves a
+    # verified prefix. Batch (not per-frame) reads matter on the tunneled
+    # TPU transport; the pass also absorbs every jit compile so the timed
+    # passes below run warm.
+    got: list[int] = []
+    pend: list = []
+
+    def drain():
+        nonlocal pend
+        if pend:
+            got.extend(int(s) for s in np.asarray(jnp.stack(pend)))
+            pend = []
+
+    t_pass = time.perf_counter()
+    n_dec = 0
+    for pic in decode_stream(data, caps_pin=pin):
+        pend.append(_frame_checksum_device(*pic.yuv_planes(),
+                                           n_trunc=n_trunc))
+        n_dec += 1
+        if len(pend) == 16:
+            drain()
+            ok = got == want[:len(got)]
+            log(f"verify: {n_dec}/{n_frames} decoded, "
+                f"{len(got)} checked, prefix_ok={ok}")
+    drain()
+    cold_dt = time.perf_counter() - t_pass
+    bit_exact = len(got) == len(want) and got == want
+    cold_fps = n_dec / cold_dt
+    log(f"verify pass: {n_dec} frames in {cold_dt:.1f}s "
+        f"({cold_fps:.1f} fps cold, incl. compiles), bit_exact={bit_exact}")
+    if not bit_exact:
+        bad = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+        log(f"MISMATCH frames: {bad[:8]}{'...' if len(bad) > 8 else ''} "
+            f"(got {len(got)}, want {len(want)})")
+        emit_once()
+        return
+
+    # salvage value: even the cold pass counts once bit-exactness is known
+    RESULT["value"] = round(cold_fps, 2)
+    RESULT["vs_baseline"] = round(cold_fps / ref_fps, 3) if ref_fps else 0.0
+
+    best = float("inf")
+    reps = 0
+    while reps < 5 and time.monotonic() - T0 < BUDGET - 60:
+        t0 = time.perf_counter()
+        n = 0
+        last = None
+        for pic in decode_stream(data, caps_pin=pin):
+            last = pic
+            n += 1
+        jax.block_until_ready(last.yuv_planes())
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        reps += 1
+        RESULT["value"] = round(n / best, 2)
+        RESULT["vs_baseline"] = round(n / best / ref_fps, 3) \
+            if ref_fps else 0.0
+        log(f"timed rep {reps}: {n} frames in {dt:.2f}s = {n / dt:.1f} fps "
+            f"(best {n / best:.1f})")
+
+    emit_once()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # decode path unavailable: still emit
+        log(f"bench failed: {type(exc).__name__}: {exc}")
+        emit_once()
+        raise SystemExit(0)

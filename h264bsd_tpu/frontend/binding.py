@@ -51,6 +51,9 @@ def _configure(L: ct.CDLL) -> None:
         ct.POINTER(ct.c_uint64)]
     L.h264tpu_flush_buffer.restype = None
     L.h264tpu_flush_buffer.argtypes = [ct.c_void_p]
+    L.h264tpu_peek_idr_boundary.restype = ct.c_int
+    L.h264tpu_peek_idr_boundary.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_uint32]
     L.h264tpu_take_non_existing.restype = ct.c_uint32
     L.h264tpu_take_non_existing.argtypes = [
         ct.c_void_p, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -133,9 +136,10 @@ class FrontendDecoder:
     def __init__(self, no_output_reordering: bool = False,
                  intra_concealment: bool = False):
         """intra_concealment mirrors the reference's intraConcealmentFlag
-        (h264bsd_storage.h:148-149, read at conceal.c:129-139): P-picture
-        losses are concealed from neighbour pels instead of the reference
-        picture."""
+        (h264bsd_storage.h:148-149, read at conceal.c:146-186). It only
+        affects the whole-picture-lost I case: with the flag set a fully
+        lost I picture is concealed by copying the reference picture
+        instead of going grey. P-picture concealment is unchanged."""
         self._lib = lib()
         flags = (1 if no_output_reordering else 0) | \
             (2 if intra_concealment else 0)
@@ -322,6 +326,15 @@ class FrontendDecoder:
         """Drain the DPB into the output queue (h264bsdFlushBuffer,
         reference decoder.c:834)."""
         self._lib.h264tpu_flush_buffer(self._h)
+
+    def peek_idr_boundary(self, nal: bytes) -> int:
+        """Peek whether an IDR slice NAL begins a new primary picture:
+        1 = yes (first_mb_in_slice == 0 and redundant_pic_cnt == 0), 0 =
+        no, -1 = undecidable (unknown PPS/SPS or not an IDR slice). The
+        referenced SPS/PPS must have been fed to decode() first
+        (reference CheckRedundantPicCnt slice_header.c:1239)."""
+        return int(self._lib.h264tpu_peek_idr_boundary(
+            self._h, nal, len(nal)))
 
     def next_output(self):
         out = np.zeros(4, np.int32)

@@ -58,6 +58,12 @@ void h264tpu_flush_buffer(void* inst) {
   static_cast<Decoder*>(inst)->flush_buffer();
 }
 
+// GOP-splitter helper: peek whether an IDR slice NAL begins a new primary
+// picture (see Decoder::peek_idr_boundary). 1/0/-1 = yes/no/undecidable.
+int h264tpu_peek_idr_boundary(void* inst, const u8* data, u32 len) {
+  return static_cast<Decoder*>(inst)->peek_idr_boundary(data, len);
+}
+
 // out12: [slot, pic_id, is_idr, poc, frame_num, n_concealed, slice_type,
 //         conceal_from_ref, conceal_ref_slot]
 void h264tpu_pic_info(void* inst, i32* out16) {

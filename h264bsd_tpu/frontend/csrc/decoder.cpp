@@ -597,4 +597,45 @@ u32 Decoder::matrix_coefficients() const {
   return 2;  // default: unspecified
 }
 
+int Decoder::peek_idr_boundary(const u8* data, u32 len) {
+  NalExtractor ex;
+  ExtractedNal n;
+  if (!ok(ex.extract(data, len, &n))) return -1;
+  BitReader br(n.rbsp, n.rbsp_size);
+  NalUnit nu;
+  if (!ok(NalExtractor::decode_nal_header(br, &nu))) return -1;
+  if (nu.type != kNalCodedSliceIdr) return -1;
+  u32 first_mb, slice_type, pps_id, value;
+  if (!ok(br.ue(&first_mb))) return -1;
+  if (first_mb != 0) return 0;
+  if (!ok(br.ue(&slice_type))) return -1;
+  if (!ok(br.ue(&pps_id)) || pps_id >= kMaxNumPps || !pps_[pps_id]) {
+    return -1;
+  }
+  const Pps& pps = *pps_[pps_id];
+  if (!pps.redundant_pic_cnt_present) return 1;
+  if (pps.sps_id >= kMaxNumSps || !sps_[pps.sps_id]) return -1;
+  const Sps& sps = *sps_[pps.sps_id];
+  // skip frame_num, idr_pic_id and the POC fields exactly as the slice
+  // header codes them (reference CheckRedundantPicCnt
+  // slice_header.c:1239-1375), then read redundant_pic_cnt
+  u32 frame_bits = 0;
+  while (sps.max_frame_num >> frame_bits) frame_bits++;
+  if (br.get_bits(frame_bits - 1) == kEndOfStream) return -1;
+  if (!ok(br.ue(&value))) return -1;  // idr_pic_id
+  i32 ivalue;
+  if (sps.poc_type == 0) {
+    u32 lsb_bits = 0;
+    while (sps.max_pic_order_cnt_lsb >> lsb_bits) lsb_bits++;
+    if (br.get_bits(lsb_bits - 1) == kEndOfStream) return -1;
+    if (pps.pic_order_present && !ok(br.se(&ivalue))) return -1;
+  }
+  if (sps.poc_type == 1 && !sps.delta_pic_order_always_zero) {
+    if (!ok(br.se(&ivalue))) return -1;
+    if (pps.pic_order_present && !ok(br.se(&ivalue))) return -1;
+  }
+  if (!ok(br.ue(&value)) || value > 127) return -1;
+  return value == 0 ? 1 : 0;
+}
+
 }  // namespace h264tpu

@@ -97,6 +97,14 @@ class Decoder {
   // the display-order output queue
   void flush_buffer() { dpb_.flush(); }
 
+  // Peek an IDR slice NAL (Annex-B chunk or bare NAL) without decoding:
+  // 1 = begins a new primary picture (first_mb_in_slice == 0 AND
+  // redundant_pic_cnt == 0), 0 = does not (mid-picture slice or redundant
+  // coded picture, reference CheckRedundantPicCnt slice_header.c:1239),
+  // -1 = undecidable (not an IDR slice, unknown PPS/SPS, parse error).
+  // Requires the referenced PPS/SPS to have been fed to decode() first.
+  int peek_idr_boundary(const u8* data, u32 len);
+
   // Oldest captured SEI RBSP payload (EPB-stripped, NAL header removed),
   // or nullptr when none is pending; the pointer stays valid until the
   // next take_sei()/decode() call. The reference ships a full SEI parser
@@ -128,8 +136,9 @@ class Decoder {
   void prepare_concealment(bool whole_pic_lost);
 
   bool no_reordering_ = false;
-  // reference intraConcealmentFlag (h264bsd_storage.h:148-149): conceal
-  // P-picture losses from neighbour pels instead of the reference picture
+  // reference intraConcealmentFlag (h264bsd_storage.h:148-149, read at
+  // conceal.c:146-186): only changes the whole-picture-lost I case — copy
+  // the reference picture instead of grey. P concealment is unaffected.
   bool intra_concealment_ = false;
 
   // parameter set registries (reference storage_t.sps/pps)

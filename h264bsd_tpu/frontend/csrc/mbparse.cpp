@@ -252,7 +252,6 @@ void FrameTensors::clear_picture() {
   ipcm_data.clear();
   sparse_id.clear();
   sparse_level.clear();
-  sparse_wide = 0;
   intra_mbs.clear();
   intra_payload.clear();
   mv_exc_id.clear();
@@ -401,7 +400,8 @@ void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
   //   [0]                packed records        n*12 B
   //   [A]                slice table           stab_cap*4 (i8)
   //   [A2]               slice-table indices   sid_cap*2 (u16; sid_cap is
-  //                      0 for single-slice pictures, n otherwise)
+  //                      0 for single-slice pictures, n rounded up to
+  //                      even otherwise so later sections stay 4-aligned)
   //   [B1]               single records        single_cap*4 (u32 =
   //                      id<<12|pos<<8|value; pad id n*26)
   //   [B2]               short ids             short_cap*4 (i32, pad n*26)
@@ -1064,9 +1064,6 @@ void MbParser::emit_mb(u32 addr, const SliceContext& ctx, const HostMb& cur,
   auto sparse_push = [&](u32 b, const i16* vals) {
     out->sparse_id.push_back(addr * 26 + b);
     out->sparse_level.insert(out->sparse_level.end(), vals, vals + 16);
-    for (u32 k = 0; k < 16; ++k) {
-      if (vals[k] < -128 || vals[k] > 127) ++out->sparse_wide;
-    }
   };
   i16 blk[16];
   // the coefficient bitmaps from CAVLC let the scan->raster scatter touch

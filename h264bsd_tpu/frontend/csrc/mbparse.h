@@ -80,7 +80,6 @@ struct FrameTensors {
   // 25 = chroma DC (8 values, padded to 16). Levels raster-ordered.
   std::vector<u32> sparse_id;
   std::vector<i16> sparse_level;  // 16 per entry
-  u32 sparse_wide = 0;  // levels outside i8 range (escape entries in blob)
 
   // single-buffer packed per-MB metadata for one-shot host->device
   // transfer; 12 bytes per MB, see build_packed()

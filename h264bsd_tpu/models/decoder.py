@@ -37,6 +37,42 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def tier(length, tiers):
+    """Smallest tier >= length."""
+    return next(c for c in tiers if c >= length)
+
+
+def ladder(base, steps):
+    """~1.5x tier ladder: on tunneled TPUs the host->device pipe is the
+    stream's bottleneck, so transfer padding directly costs fps (a
+    power-of-two ladder wastes ~30% of the blob on typical 1080p frames).
+    Each new tier combo compiles once and is then cached. Shared by the
+    single-stream and multistream paths so compiled shapes coincide."""
+    out = []
+    for i in range(steps):
+        out += [base << i, (base << i) + (base << i >> 1)]
+    return tuple(out)
+
+
+def caps_from_counts(mx, n_mbs, wavefront):
+    """Tier-select the transfer-blob section caps from raw per-class
+    counts (FrontendDecoder.blob_counts order). One function shared by
+    the sticky-caps path, caps pinning, and multistream so every path
+    lands on identical compiled shapes."""
+    sgl = tier(mx[0], ladder(2048, 8) + (max(n_mbs * 26, 2048),))
+    sht = tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
+    cap = tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
+    wcap = tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
+    ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
+    scap = tier(mx[6], (32, max(n_mbs, 32)))
+    icap = tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
+    # dense per-MB slice ids travel only for multi-slice pictures;
+    # rounded up to even so every later blob section stays 4-byte
+    # aligned for the host-side u32/i32 writes (odd n_mbs pictures)
+    sidcap = 0 if mx[6] <= 1 else (n_mbs + 1) & ~1
+    return (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
+
+
 # status re-exports (reference h264bsd_decoder.h:46-55)
 RDY = fe.RDY
 PIC_RDY = fe.PIC_RDY
@@ -240,6 +276,17 @@ class OutputPicture:
         return (self._dpb[0][self._slot], self._dpb[1][self._slot],
                 self._dpb[2][self._slot])
 
+    def detach(self):
+        """Copy this picture's planes out of the DPB-ring snapshot so the
+        snapshot can be freed. A pending OutputPicture otherwise pins its
+        whole ring version (~(dpbSize+1) frames of HBM); a consumer that
+        accumulates pictures (e.g. GOP-parallel decode) detaches each one,
+        bounding held memory to one frame per picture."""
+        y, cb, cr = self.yuv_planes()
+        self._dpb = (y[None], cb[None], cr[None])
+        self._slot = 0
+        return self
+
     def yuv_bytes(self) -> bytes:
         """Planar uncropped YUV420, reference picture-buffer layout."""
         y, cb, cr = (np.asarray(p) for p in self.yuv_planes())
@@ -268,13 +315,17 @@ class Decoder:
     h264bsdDecode loop -> h264bsdShutdown)."""
 
     def __init__(self, no_output_reordering: bool = False,
-                 intra_concealment: bool = False):
+                 intra_concealment: bool = False, caps_pin: dict = None):
         """intra_concealment = the reference's intraConcealmentFlag
         (h264bsd_storage.h:148-149; settable there only by poking the
-        struct): conceal P-picture losses from neighbour pels instead of
-        copying the reference picture (conceal.c:129-139)."""
+        struct, read at conceal.c:146-186): with the flag set a fully
+        lost I picture copies the reference picture instead of going
+        grey. P-picture concealment is unchanged either way."""
         self._fe = fe.FrontendDecoder(no_output_reordering,
                                       intra_concealment)
+        # optional {wavefront_class: caps_tuple} pin from a dry parse
+        # (pin_caps_for_stream) — bounds the compile surface up front
+        self._caps_pin = caps_pin
         # sticky-caps history per (wavefront,) class: recent frames' raw
         # counts, so consecutive frames share one caps tuple (see _prepare)
         self._cap_hist = {}
@@ -330,46 +381,42 @@ class Decoder:
         n_single, n_short, n_full, n_wide, n_exc, n_intra, n_slices = (
             int(x) for x in self._fe.blob_counts())
 
-        def tier(length, tiers):
-            return next(c for c in tiers if c >= length)
-
-        # ~1.5x tier ladders: on tunneled TPUs the host->device pipe is the
-        # stream's bottleneck, so transfer padding directly costs fps (a
-        # power-of-two ladder wastes ~30% of the blob on typical 1080p
-        # frames). Each new tier combo compiles once and is then cached.
-        def ladder(base, steps):
-            out = []
-            for i in range(steps):
-                out += [base << i, (base << i) + (base << i >> 1)]
-            return tuple(out)
-
         # sparse intra (typical P frame) -> padded-list pass; intra-heavy
         # (I frames) -> anti-diagonal wavefront pass
         wavefront = n_intra > 512
 
-        # STICKY caps: tier over the max counts of the last 8 frames of
-        # this wavefront class, not this frame alone. Per-frame tiering
-        # makes consecutive frames land in different caps tuples, which
-        # breaks the multi-frame window dispatch (one tunnel round trip
-        # per window instead of per frame — the round trip, ~9 ms on the
-        # tunneled link, dominates the frame budget). The 8-frame max
-        # decays I-frame spikes after one window.
-        hist = self._cap_hist.setdefault(wavefront, [])
-        hist.append((n_single, n_short, n_full, n_wide, n_exc, n_intra,
-                     n_slices))
-        del hist[:-8]
-        mx = [max(h[k] for h in hist) for k in range(7)]
-
-        sgl = tier(mx[0], ladder(2048, 8) + (max(n_mbs * 26, 2048),))
-        sht = tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
-        cap = tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
-        wcap = tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
-        scap = tier(mx[6], (32, max(n_mbs, 32)))
-        icap = tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
-        # dense per-MB slice ids travel only for multi-slice pictures
-        sidcap = 0 if mx[6] <= 1 else n_mbs
-        caps = (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
+        counts = (n_single, n_short, n_full, n_wide, n_exc, n_intra,
+                  n_slices)
+        pin = None
+        if self._caps_pin is not None and wavefront in self._caps_pin:
+            p = self._caps_pin[wavefront]
+            # the pin only applies when the frame actually fits (the C++
+            # blob builder clamps overflow silently); a frame beyond the
+            # pinned tiers falls back to the sticky path
+            if (all(counts[k] <= p[k] for k in range(7))
+                    and (n_slices <= 1 or p[7] > 0)):
+                pin = p
+        if pin is not None:
+            # PINNED caps (pin_caps_for_stream dry parse): exactly one
+            # caps tuple per wavefront class for the whole stream, so the
+            # compile surface is bounded up front — the sticky history
+            # below can still step tiers as it warms, and every step is a
+            # fresh multi-second XLA compile on the tunneled TPU.
+            caps = pin
+        else:
+            # STICKY caps: tier over the max counts of the last 8 frames
+            # of this wavefront class, not this frame alone. Per-frame
+            # tiering makes consecutive frames land in different caps
+            # tuples, which breaks the multi-frame window dispatch (one
+            # tunnel round trip per window instead of per frame — the
+            # round trip, ~9 ms on the tunneled link, dominates the frame
+            # budget). The 8-frame max decays I-frame spikes after one
+            # window.
+            hist = self._cap_hist.setdefault(wavefront, [])
+            hist.append(counts)
+            del hist[:-8]
+            mx = [max(h[k] for h in hist) for k in range(7)]
+            caps = caps_from_counts(mx, n_mbs, wavefront)
         blob = self._fe.blob(*caps)
 
         ipcm = self._fe.ipcm()
@@ -608,8 +655,39 @@ class Decoder:
         return msgs
 
 
+def pin_caps_for_stream(data: bytes) -> dict:
+    """Dry-parse a stream (C++ front-end only, no device work) and return
+    the {wavefront_class: caps_tuple} pin covering every frame — pass as
+    Decoder(caps_pin=...) so the whole decode uses exactly one caps tuple
+    per class and the XLA compile surface is bounded before the first
+    dispatch (each novel tier combo costs a multi-second compile on the
+    tunneled TPU; the sticky-caps history discovers tiers incrementally
+    and can step through several)."""
+    d = fe.FrontendDecoder(no_output_reordering=True)
+    mx: dict = {}
+    n_mbs = 0
+    pos = 0
+    while pos < len(data):
+        status, read = d.decode(data[pos:], 0)
+        pos += read
+        if status == fe.HDRS_RDY:
+            g = d.stream_info()
+            n_mbs = g["width_mbs"] * g["height_mbs"]
+        elif status == fe.PIC_RDY:
+            counts = [int(x) for x in d.blob_counts()]
+            wf = counts[5] > 512
+            prev = mx.setdefault(wf, [0] * 7)
+            mx[wf] = [max(a, b) for a, b in zip(prev, counts)]
+            while d.next_output() is not None:
+                pass
+        elif status >= fe.ERROR and read == 0:
+            break
+    d.close()
+    return {wf: caps_from_counts(m, n_mbs, wf) for wf, m in mx.items()}
+
+
 def decode_stream(data: bytes, max_pictures: int | None = None,
-                  pipelined: bool = True):
+                  pipelined: bool = True, caps_pin: dict = None):
     """Convenience: full posix-test-app decode loop (reference
     posix/test_h264bsd.c:146-177). Yields OutputPicture in display order.
 
@@ -617,7 +695,7 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     one frame ahead on a worker thread, overlapping with the previous
     frame's host->device transfer and dispatch — the double-buffering
     SURVEY.md §7 step 8 calls for."""
-    dec = Decoder()
+    dec = Decoder(caps_pin=caps_pin)
     if not pipelined:
         pos = 0
         n_out = 0

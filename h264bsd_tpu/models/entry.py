@@ -80,8 +80,46 @@ def entry_fn_and_args():
     return fn, (tensors, dpb_y, dpb_cb, dpb_cr, jnp.int32(0))
 
 
+def _real_frame_tensors(w_mbs, h_mbs, n_frames=2):
+    """Parse a crafted streamgen stream through the C++ front-end and
+    return its frames' dense tensor dicts + DPB slots — the dryrun runs
+    on real parse output (IDR intra frame, then a P frame whose MC reads
+    the reference written by frame 1), not synthetic zeros."""
+    from ..frontend import binding as fe
+    from ..ops.reconstruct import build_pcm_tensors
+    from ..utils.streamgen import make_conformance_stream
+
+    data = make_conformance_stream(width_mbs=w_mbs, height_mbs=h_mbs,
+                                   n_frames=n_frames)
+    d = fe.FrontendDecoder()
+    frames = []
+    info = None
+    pos = 0
+    while pos < len(data):
+        status, read = d.decode(data[pos:], 0)
+        pos += read
+        if status == fe.HDRS_RDY:
+            info = d.stream_info()
+        elif status == fe.PIC_RDY:
+            n_mbs = info["width_mbs"] * info["height_mbs"]
+            t = d.tensors(n_mbs)
+            mb, blob = d.ipcm()
+            t["pcm_y"], t["pcm_cb"], t["pcm_cr"] = build_pcm_tensors(
+                n_mbs, mb, blob)
+            frames.append((t, int(d.pic_info()["slot"])))
+            while d.next_output() is not None:
+                pass
+        elif status >= fe.ERROR and read == 0:
+            break
+    d.close()
+    return frames
+
+
 def run_multichip_dryrun(n_devices: int) -> None:
-    """Shard the full frame step over an n-device mesh and run one step.
+    """Shard the full frame step over an n-device mesh and run one step
+    per frame of a REAL crafted stream (C++ front-end parse output), then
+    assert the sharded result is byte-identical to the single-device
+    step.
 
     Mesh axes: ("stream", "row") — stream-batch data parallelism times
     MB-row sharding. The row axis runs parallel.rowshard's real sharded
@@ -110,22 +148,36 @@ def run_multichip_dryrun(n_devices: int) -> None:
 
     w_mbs = 4
     h_mbs = 2 * n_row          # 2 MB rows per row-shard
-    n_mbs = w_mbs * h_mbs
     h, w = h_mbs * 16, w_mbs * 16
     n_slots = 2
     batch = n_stream
 
-    tensors = example_tensors(n_mbs, batch=batch)
+    frames = _real_frame_tensors(w_mbs, h_mbs)
+    assert len(frames) >= 2, "dryrun stream must parse to >= 2 frames"
+
     dpb_y = jnp.full((batch, n_slots, h, w), 128, jnp.uint8)
     dpb_cb = jnp.full((batch, n_slots, h // 2, w // 2), 128, jnp.uint8)
     dpb_cr = jnp.full((batch, n_slots, h // 2, w // 2), 128, jnp.uint8)
-    slots = jnp.zeros((batch,), jnp.int32)
+    # single-device oracle DPB (one stream's worth)
+    ref_dpb = (dpb_y[0], dpb_cb[0], dpb_cr[0])
 
     step = make_batched_row_sharded_step(mesh, "stream", "row", w_mbs,
                                          h_mbs)
-    out = step(tensors, dpb_y, dpb_cb, dpb_cr, slots)
-    jax.block_until_ready(out)
-    assert out[0].shape == dpb_y.shape
+    for t, slot in frames:
+        tj = {k: jnp.asarray(v) for k, v in t.items()}
+        batched = {k: jnp.broadcast_to(v, (batch,) + v.shape)
+                   for k, v in tj.items()}
+        slots = jnp.full((batch,), slot, jnp.int32)
+        dpb_y, dpb_cb, dpb_cr = step(batched, dpb_y, dpb_cb, dpb_cr,
+                                     slots)
+        ref_dpb = frame_step(tj, *ref_dpb, jnp.int32(slot), w_mbs, h_mbs)
+    jax.block_until_ready((dpb_y, dpb_cb, dpb_cr))
+
+    # every stream replica must equal the single-device result exactly
+    for b in range(batch):
+        for got, want in zip((dpb_y[b], dpb_cb[b], dpb_cr[b]), ref_dpb):
+            assert np.array_equal(np.asarray(got), np.asarray(want)), \
+                "sharded decode diverged from the single-device step"
 
 
 def entry_fn_check():

@@ -130,8 +130,11 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
     packed = take(n * 12)
     stab = lax.bitcast_convert_type(take(stab_cap * 4), jnp.int8) \
         .reshape(stab_cap, 4)
+    # sid_cap is even-rounded by the caller for section alignment; only
+    # the first n entries are real per-MB ids
     sids = lax.bitcast_convert_type(
-        take(sid_cap * 2).reshape(-1, 2), jnp.uint16) if sid_cap else None
+        take(sid_cap * 2).reshape(-1, 2), jnp.uint16)[:n] \
+        if sid_cap else None
 
     # single records: u32 = id << 12 | pos << 8 | (value & 0xFF)
     sgl = lax.bitcast_convert_type(take(single_cap * 4).reshape(-1, 4),

@@ -14,6 +14,13 @@ keyint=40, giving one GOP boundary roughly every 1.6 s of video.
 
 Every GOP re-activates parameter sets, so each split segment is prefixed
 with the stream's SPS/PPS NAL units.
+
+Memory: each worker holds at most one GOP's decoded pictures, DETACHED
+from the DPB ring (one frame of device memory per picture, not one ring
+snapshot — OutputPicture.detach); outputs stream out per completed GOP in
+stream order. Streams without IDR pictures don't split (one segment) —
+use parallel.framepipe for the cross-device DPB-handoff decode of
+GOP-less IPPP streams (BASELINE config 4).
 """
 
 from __future__ import annotations
@@ -55,11 +62,32 @@ def split_gops(data: bytes):
     [param sets + GOP] per IDR *picture*. Returns a list of byte strings.
 
     Only an IDR slice that starts a new access unit (first_mb_in_slice ==
-    0, the storage.c:593 boundary rule restricted to IDR) opens a segment,
-    so multi-slice IDR pictures are never torn apart."""
+    0, the storage.c:593 boundary rule restricted to IDR) AND is a primary
+    coded picture (redundant_pic_cnt == 0 — a redundant IDR slice repeats
+    the picture it follows, reference CheckRedundantPicCnt
+    slice_header.c:1239) opens a segment, so multi-slice IDR pictures and
+    redundant IDR copies are never torn apart. The redundant check uses
+    the C++ front-end's exact header peek, tracking SPS/PPS as the scan
+    encounters them; when the peek is undecidable (slice references a PPS
+    the stream never sent) the first-header-bit heuristic decides."""
+    from ..frontend import binding as fe_bind
+
     nals = _nal_positions(data)
-    idr_starts = [start for payload, start, t in nals
-                  if t == 5 and _first_mb_is_zero(data, payload)]
+    peek = fe_bind.FrontendDecoder(no_output_reordering=True)
+    idr_starts = []
+    try:
+        for i, (payload, start, t) in enumerate(nals):
+            end = nals[i + 1][1] if i + 1 < len(nals) else len(data)
+            if t in (7, 8):          # SPS/PPS: feed the peek registry
+                peek.decode(data[start:end], 0)
+            elif t == 5:
+                r = peek.peek_idr_boundary(data[start:end])
+                opens = (r == 1) if r >= 0 else \
+                    _first_mb_is_zero(data, payload)
+                if opens:
+                    idr_starts.append(start)
+    finally:
+        peek.close()
     if not idr_starts:
         return [data]
     # prefix: everything before the first IDR picture (SPS/PPS/SEI)
@@ -82,7 +110,11 @@ def _decode_segment(seg: bytes, dev):
             pos += read
             if status == PIC_RDY:
                 while (pic := dec.next_output_picture()) is not None:
-                    pics.append(pic)
+                    # detach: holding raw OutputPictures would pin one
+                    # DPB-ring snapshot EACH (~40 ring versions for a
+                    # 40-frame 1080p GOP, ~2 GB); detached pictures hold
+                    # one frame's planes only
+                    pics.append(pic.detach())
             elif status >= ERROR and read == 0:
                 break
         dec.close()

@@ -24,6 +24,10 @@ of the DPB runs the same exact three-stage path as the single-stream
 decoder (_recon_only_step -> host spiral -> _deblock_store_step), so
 batched mode stays byte-exact on corrupt streams. P-type loss with a
 reference and whole-picture loss stay on the batched path (both exact).
+NOTE: under a mesh the eviction path does per-stream device->host->device
+round trips on slices of the sharded DPB (_submit_exact) — it breaks the
+one-launch-per-round model for that round; acceptable because spiral
+concealment is a rare error path, but don't put it on a hot path.
 
 Host parse for round k+1 overlaps device execution of round k via a
 producer thread (ctypes releases the GIL during C++ parse).
@@ -43,7 +47,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..frontend import binding as fe
 from ..models.decoder import (_decode_step, _deblock_store_step,
-                              _recon_only_step)
+                              _recon_only_step, ladder)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps",
@@ -138,19 +142,16 @@ class MultiStreamDecoder:
         # shared tier caps for the round (same ladder as the single-stream
         # path so compiled shapes are shared with it where N matches)
         mx = [max(c[k] for c, _, _ in ready.values()) for k in range(7)]
-        sgl = _tier(mx[0], tuple(2048 << i for i in range(8)) +
-                    (max(n_mbs * 26, 2048),))
-        sht = _tier(mx[1], tuple(1024 << i for i in range(8)) +
-                    (max(n_mbs * 26, 1024),))
-        cap = _tier(mx[2], tuple(512 << i for i in range(8)) +
-                    (max(n_mbs * 26, 512),))
+        sgl = _tier(mx[0], ladder(2048, 8) + (max(n_mbs * 26, 2048),))
+        sht = _tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
+        cap = _tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
         wcap = _tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = _tier(mx[4], tuple(256 << i for i in range(8)) +
-                     (max(n_mbs, 256),))
+        ecap = _tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
         scap = _tier(mx[6], (32, max(n_mbs, 32)))
         wavefront = mx[5] > 512
         icap = _tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
-        sidcap = 0 if mx[6] <= 1 else n_mbs
+        # even-rounded for 4-byte section alignment (see decoder._prepare)
+        sidcap = 0 if mx[6] <= 1 else (n_mbs + 1) & ~1
         caps = (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
 
         if caps not in self._zero_blob:

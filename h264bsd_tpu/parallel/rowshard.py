@@ -30,10 +30,16 @@ Each device owns a contiguous stripe of MB rows. The frame step becomes:
 
 The pipelines serialize stripes within one frame — inherent to H.264's
 raster decode order — but every stripe's phase-A work (the bulk of the
-FLOPs) runs concurrently, and across frames the stripes overlap
-wavefront-style. The step's output frame is assembled from the stripe
-results by an all_gather along the axis (the DPB handoff collective) and
-stored into every device's DPB replica.
+FLOPs) runs concurrently, and in phases B/C only the ACTIVE stripe
+computes at each pipeline step (lax.cond; the others wait at the halo
+collective), so per-frame intra/deblock compute is one stripe pass per
+device rather than n_row masked full passes. Cross-frame wavefront
+overlap of the B/C pipelines (stripe k of frame f concurrent with
+stripe k+1 of frame f-1) is NOT implemented; a frame's pipeline phases
+still cost n_row sequential stripe passes of wall-clock. The step's
+output frame is assembled from the stripe results by an all_gather
+along the axis (the DPB handoff collective) and stored into every
+device's DPB replica.
 
 Bit-exactness vs the single-device step is pinned by
 tests/test_rowshard.py on a virtual CPU mesh.
@@ -70,6 +76,25 @@ def _ext0(x, width_mbs):
 
 def _stripe_step(t, dpb_y, dpb_cb, dpb_cr, slot, *, width_mbs, stripe_rows,
                  n_row, axis):
+    """Dense-tensor stripe step: dequant+IDCT on the stripe's dense
+    coefficients, then the shared stripe phases."""
+    mb_class = t["mb_class"].astype(jnp.int32)
+    res, _ = residual_transform(
+        t["coeff"].astype(jnp.int32), t["luma_dc"].astype(jnp.int32),
+        t["chroma_dc"].astype(jnp.int32), t["qp_y"].astype(jnp.int32),
+        t["chroma_qp_offset"].astype(jnp.int32), t["nnz"].astype(jnp.int32),
+        t["nnz_dc"].astype(jnp.int32), mb_class == 4)
+    res_l, res_c = mb_residual_planes(res)
+    return _stripe_phases(t, res_l, res_c, dpb_y, dpb_cb, dpb_cr, slot,
+                          width_mbs=width_mbs, stripe_rows=stripe_rows,
+                          n_row=n_row, axis=axis)
+
+
+def _stripe_phases(t, res_l, res_c, dpb_y, dpb_cb, dpb_cr, slot, *,
+                   width_mbs, stripe_rows, n_row, axis):
+    """Phases A(MC/combine)/B(intra)/C(deblock) of one stripe, residual
+    planes precomputed by the caller (dense path: residual_transform;
+    blob path: residual_planes_sparse)."""
     pid = lax.axis_index(axis)
     W = width_mbs * 16
     Wc = W // 2
@@ -77,14 +102,7 @@ def _stripe_step(t, dpb_y, dpb_cb, dpb_cr, slot, *, width_mbs, stripe_rows,
 
     mb_class = t["mb_class"].astype(jnp.int32)
 
-    # ---- phase A: residual + MC + combine (parallel across stripes) ----
-    res, _ = residual_transform(
-        t["coeff"].astype(jnp.int32), t["luma_dc"].astype(jnp.int32),
-        t["chroma_dc"].astype(jnp.int32), t["qp_y"].astype(jnp.int32),
-        t["chroma_qp_offset"].astype(jnp.int32), t["nnz"].astype(jnp.int32),
-        t["nnz_dc"].astype(jnp.int32), mb_class == 4)
-    res_l, res_c = mb_residual_planes(res)
-
+    # ---- phase A: MC + combine (parallel across stripes) ----
     pred_y, pred_cb, pred_cr = inter_predict_frame(
         dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
         t["ref_slot"].astype(jnp.int32), width_mbs, stripe_rows,
@@ -126,15 +144,20 @@ def _stripe_step(t, dpb_y, dpb_cb, dpb_cr, slot, *, width_mbs, stripe_rows,
     cr_e = jnp.concatenate([jnp.zeros((8, Wc), jnp.uint8), cr], axis=0)
     halo = (jnp.zeros((W,), jnp.uint8), jnp.zeros((Wc,), jnp.uint8),
             jnp.zeros((Wc,), jnp.uint8))
+    def _intra_active(args):
+        ye, cbe, cre, h = args
+        return intra_pass(
+            ye.at[15].set(h[0]), cbe.at[7].set(h[1]), cre.at[7].set(h[2]),
+            i_class, i4m, i4a, mba, i16, cmode, rl_e, rc_e, width_mbs)
+
     for k in range(n_row):
-        y2, cb2, cr2 = intra_pass(
-            y_e.at[15].set(halo[0]), cb_e.at[7].set(halo[1]),
-            cr_e.at[7].set(halo[2]), i_class, i4m, i4a, mba, i16, cmode,
-            rl_e, rc_e, width_mbs)
-        act = pid == k
-        y_e = jnp.where(act, y2, y_e)
-        cb_e = jnp.where(act, cb2, cb_e)
-        cr_e = jnp.where(act, cr2, cr_e)
+        # only the active stripe runs the pass (lax.cond, not a masked
+        # full recompute): per-frame intra cost is one stripe pass per
+        # device, not n_row of them — the inactive devices just wait at
+        # the halo collective
+        y_e, cb_e, cr_e = lax.cond(
+            pid == k, _intra_active, lambda a: a[:3],
+            (y_e, cb_e, cr_e, halo))
         if k < n_row - 1:
             halo = tuple(lax.ppermute(h, axis, down)
                          for h in (y_e[-1], cb_e[-1], cr_e[-1]))
@@ -180,21 +203,22 @@ def _stripe_step(t, dpb_y, dpb_cb, dpb_cr, slot, *, width_mbs, stripe_rows,
              jnp.zeros((2, Wc), jnp.uint8))
     patch = (jnp.zeros((3, W), jnp.uint8), jnp.zeros((1, Wc), jnp.uint8),
              jnp.zeros((1, Wc), jnp.uint8))
-    for k in range(n_row):
+    def _deblock_active(args):
+        ye, cbe, cre, _patch, h4 = args
         y2, cb2, cr2 = deblock_frame_with_bs(
-            lax.dynamic_update_slice(y_e, halo4[0], (12, 0)),
-            lax.dynamic_update_slice(cb_e, halo4[1], (6, 0)),
-            lax.dynamic_update_slice(cr_e, halo4[2], (6, 0)),
+            lax.dynamic_update_slice(ye, h4[0], (12, 0)),
+            lax.dynamic_update_slice(cbe, h4[1], (6, 0)),
+            lax.dynamic_update_slice(cre, h4[2], (6, 0)),
             bs_left, bs_top, l_thr, c_thr, width_mbs, stripe_rows + 1)
-        act = pid == k
-        y_e = jnp.where(act, y2, y_e)
-        cb_e = jnp.where(act, cb2, cb_e)
-        cr_e = jnp.where(act, cr2, cr_e)
         # rows the boundary filter wrote INTO the halo (stripe k-1's
         # bottom 3 luma / 1 chroma rows)
-        patch = (jnp.where(act, y2[13:16], patch[0]),
-                 jnp.where(act, cb2[7:8], patch[1]),
-                 jnp.where(act, cr2[7:8], patch[2]))
+        return y2, cb2, cr2, (y2[13:16], cb2[7:8], cr2[7:8])
+
+    for k in range(n_row):
+        # as in phase B, only the active stripe filters (lax.cond)
+        y_e, cb_e, cr_e, patch = lax.cond(
+            pid == k, _deblock_active, lambda a: a[:4],
+            (y_e, cb_e, cr_e, patch, halo4))
         if k < n_row - 1:
             halo4 = tuple(lax.ppermute(h, axis, down)
                           for h in (y_e[-4:], cb_e[-2:], cr_e[-2:]))
@@ -241,6 +265,68 @@ def make_row_sharded_step(mesh, axis, width_mbs, height_mbs):
     # t_spec is a pytree prefix: it applies to every leaf of the dict
     fn = shard_map(body, mesh=mesh,
                    in_specs=(t_spec, rep, rep, rep, rep),
+                   out_specs=(rep, rep, rep), check_vma=False)
+    return jax.jit(fn)
+
+
+def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
+    """Row-sharded step that consumes the PRODUCTION transfer format: the
+    single tier-padded blob built by the C++ front-end (the same buffer
+    the single-chip fast path ships — FrameTensors::build_blob), unpacked
+    on device (ops.unpack) with the sparse-domain residual transform
+    (ops.transform.residual_planes_sparse), then the stripe MC/intra/
+    deblock pipelines with halo exchange. This is what a multi-chip
+    deployment would actually run: one ~100 KB blob replicated to the
+    mesh instead of ~9 MB of dense host tensors.
+
+    Unpack and the (sparse, few-percent-density) residual transform run
+    replicated on every device — they are a rounding error next to the
+    pixel phases; each device then slices its stripe of the per-MB
+    tensors. The Pallas MC/deblock kernels stay single-chip for now
+    (their window/wavefront indexing assumes whole frames); the stripe
+    phases use the XLA paths, which are bit-exact with the kernels by
+    tests/test_pallas*.
+
+    Returns fn(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot)
+    -> new replicated DPB. Bit-exactness vs the single-chip fast step is
+    pinned by tests/test_rowshard.py::test_rowshard_blob_step.
+    """
+    n_row = mesh.shape[axis]
+    if height_mbs % n_row:
+        raise ValueError(f"height_mbs={height_mbs} not divisible by "
+                         f"axis {axis!r} size {n_row}")
+    stripe_rows = height_mbs // n_row
+    n_mbs = width_mbs * height_mbs
+    n_stripe = stripe_rows * width_mbs
+
+    def body(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot):
+        from ..ops.transform import residual_planes_sparse
+        from ..ops.unpack import unpack_blob, unpack_meta
+
+        (packed, stab, sp_ids, sp_lv, eids, epay, imbs, ipay,
+         sids) = unpack_blob(blob, n_mbs, *caps)
+        tf = unpack_meta(packed, stab, eids, epay, imbs, ipay, n_mbs,
+                         sids)
+        mb_class_full = tf["mb_class"].astype(jnp.int32)
+        rl_full, rc_full = residual_planes_sparse(
+            sp_ids.reshape(-1).astype(jnp.int32), sp_lv.astype(jnp.int32),
+            tf["qp_y"].astype(jnp.int32),
+            tf["chroma_qp_offset"].astype(jnp.int32),
+            tf["nnz_dc"].astype(jnp.int32), mb_class_full == 4, n_mbs)
+
+        pid = lax.axis_index(axis)
+        base = pid * n_stripe
+        cut = lambda x: lax.dynamic_slice_in_dim(x, base, n_stripe, 0)
+        t = {k: cut(v) for k, v in tf.items()}
+        t["pcm_y"], t["pcm_cb"], t["pcm_cr"] = (
+            cut(pcm_y), cut(pcm_cb), cut(pcm_cr))
+        return _stripe_phases(
+            t, cut(rl_full), cut(rc_full), dpb_y, dpb_cb, dpb_cr, slot,
+            width_mbs=width_mbs, stripe_rows=stripe_rows, n_row=n_row,
+            axis=axis)
+
+    rep = P()
+    fn = shard_map(body, mesh=mesh, in_specs=(rep,) * 8,
                    out_specs=(rep, rep, rep), check_vma=False)
     return jax.jit(fn)
 

@@ -574,6 +574,31 @@ def make_redundant_stream(lost: bool) -> bytes:
     return out
 
 
+def make_ippp_stream(width_mbs: int = 4, height_mbs: int = 4,
+                     n_frames: int = 6, qp: int = 26) -> bytes:
+    """GOP-less IPPP stream: a non-IDR I picture (recovery-point style
+    entry, NAL type 1 — legal baseline, nothing resets the DPB) followed
+    by P pictures that each add a distinct DC residual on top of the
+    previous frame. No IDR anywhere, so parallel.gop.split_gops returns
+    one segment; this is the BASELINE config 4 input for the framepipe
+    DPB-handoff decoder (parallel.framepipe)."""
+    n_mbs = width_mbs * height_mbs
+    out = _sps(width_mbs, height_mbs, 2) + _pps(qp)
+    w = BitWriter()
+    _slice_header(w, 0, 7, 0, False, 2, 0)
+    for _ in range(n_mbs):
+        _i4_mb(w, 5)
+    out += _nal(0x61, w)
+    for f in range(1, n_frames):
+        w = BitWriter()
+        _slice_header(w, 0, 5, f % 16, False, 2, 0)
+        for i in range(n_mbs):
+            w.ue(0)  # mb_skip_run
+            _p16_mb(w, 0, 1, 3 + f + (i & 3))
+        out += _nal(0x61, w)
+    return out
+
+
 def make_lowqp_i_stream(dc_level: int = 200, qp: int = 2) -> bytes:
     """A one-macroblock (16x16) IDR stream at low QP whose single luma
     coefficient is `dc_level` — large enough to exercise the wide-level

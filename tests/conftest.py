@@ -9,6 +9,13 @@ environment variable, so jax.config.update is required as well.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never persist-cache test compilations: serializing/deserializing
+# interpret-mode Pallas executables can segfault jax's compilation_cache
+# (observed with test_pallas_deblock on CPU, in both put_executable and
+# get_executable paths). Empty string disables the package default
+# (h264bsd_tpu.__init__); the persistent cache is a TPU-bench concern
+# only (bench.py enables it itself).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -38,6 +38,24 @@ def test_split_gops_multislice_idr():
         assert seg.count(b"\x00\x00\x01\x65") == 4
 
 
+def test_split_gops_redundant_idr():
+    """A redundant IDR slice (redundant_pic_cnt > 0) with
+    first_mb_in_slice == 0 repeats the primary picture it follows
+    (reference CheckRedundantPicCnt slice_header.c:1239) and must NOT
+    open a new segment."""
+    from h264bsd_tpu.utils.streamgen import make_redundant_stream
+
+    one = make_redundant_stream(lost=False)   # IDR + redundant IDR + P
+    assert one.count(b"\x00\x00\x01\x65") == 2
+    assert len(split_gops(one)) == 1          # one primary IDR picture
+
+    two = one + one
+    segs = split_gops(two)
+    assert len(segs) == 2                     # splits only at primaries
+    for seg in segs:
+        assert seg.count(b"\x00\x00\x01\x65") == 2
+
+
 def test_split_gops_4byte_startcodes():
     """4-byte start codes (leading zero) must stay attached to their NAL
     when segments are cut."""

@@ -104,3 +104,76 @@ def test_rowshard_requires_divisible_height():
     mesh = Mesh(np.array(jax.devices()[:2]), ("row",))
     with pytest.raises(ValueError):
         make_row_sharded_step(mesh, "row", 4, 5)
+
+
+def _blob_preps(data):
+    """Drive the production front-end exactly like the fast path: pinned
+    caps, per-frame transfer blob."""
+    from h264bsd_tpu.models.decoder import Decoder, pin_caps_for_stream
+
+    pin = pin_caps_for_stream(data)
+    dec = Decoder(caps_pin=pin)
+    pos = 0
+    while pos < len(data):
+        status, read = dec._fe.decode(data[pos:], 0)
+        pos += read
+        if status == fe.HDRS_RDY:
+            dec._geom = dec._fe.stream_info()
+        elif status == fe.PIC_RDY:
+            prep = dec._prepare()
+            while dec._fe.next_output() is not None:
+                pass
+            yield prep, dec._fe.stream_info()
+        elif status >= fe.ERROR and read == 0:
+            break
+    dec.close()
+
+
+@pytest.mark.parametrize("n_row", [2, 4])
+@pytest.mark.parametrize("name", ["conformance_8x8", "intra_stress"])
+def test_rowshard_blob_step(name, n_row):
+    """The blob-consuming sharded step (production transfer format +
+    device unpack + sparse residual) must equal the single-chip fast
+    step byte-for-byte."""
+    from h264bsd_tpu.models.decoder import _decode_step
+    from h264bsd_tpu.parallel.rowshard import make_row_sharded_blob_step
+
+    data = STREAMS[name]()
+    mesh = Mesh(np.array(jax.devices()[:n_row]), ("row",))
+    single = sharded = None
+    steps = {}
+    n = 0
+    for prep, info in _blob_preps(data):
+        w_mbs, h_mbs = prep["w_mbs"], prep["h_mbs"]
+        n_mbs = prep["n_mbs"]
+        h, w = h_mbs * 16, w_mbs * 16
+        if single is None:
+            ns = info["dpb_slots"]
+            single = (jnp.zeros((ns, h, w), jnp.uint8),
+                      jnp.zeros((ns, h // 2, w // 2), jnp.uint8),
+                      jnp.zeros((ns, h // 2, w // 2), jnp.uint8))
+            sharded = single
+        pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
+               jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+               jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+        blob = jnp.asarray(prep["blob"])
+        pi = prep["info"]
+        slot = jnp.int32(pi["slot"])
+        single = _decode_step(
+            blob, *single, *pcm, slot,
+            jnp.bool_(pi["conceal_from_ref"]),
+            jnp.int32(pi["conceal_ref_slot"]), w_mbs, h_mbs,
+            prep["caps"], prep["wavefront"],
+            jnp.asarray(prep["used_slots"]), False, False)
+        if prep["caps"] not in steps:
+            steps[prep["caps"]] = make_row_sharded_blob_step(
+                mesh, "row", w_mbs, h_mbs, prep["caps"])
+        sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot)
+        for p in range(3):
+            a = np.asarray(single[p][pi["slot"]])
+            b = np.asarray(sharded[p][pi["slot"]])
+            assert (a == b).all(), (
+                f"{name} frame {n} plane {p}: "
+                f"{int((a != b).sum())} byte diffs")
+        n += 1
+    assert n > 0

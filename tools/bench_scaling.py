@@ -43,6 +43,74 @@ def bench_gop(data, devices, repeats=2):
     return n / best, n
 
 
+def _rowshard_frames(w_mbs, h_mbs, n_frames):
+    from h264bsd_tpu.frontend import binding as fe
+    from h264bsd_tpu.ops.reconstruct import build_pcm_tensors
+    from h264bsd_tpu.utils.streamgen import make_conformance_stream
+
+    data = make_conformance_stream(width_mbs=w_mbs, height_mbs=h_mbs,
+                                   n_frames=n_frames)
+    d = fe.FrontendDecoder()
+    frames = []
+    info = None
+    pos = 0
+    while pos < len(data):
+        status, read = d.decode(data[pos:], 0)
+        pos += read
+        if status == fe.HDRS_RDY:
+            info = d.stream_info()
+        elif status == fe.PIC_RDY:
+            n_mbs = info["width_mbs"] * info["height_mbs"]
+            t = d.tensors(n_mbs)
+            mb, blob = d.ipcm()
+            t["pcm_y"], t["pcm_cb"], t["pcm_cr"] = build_pcm_tensors(
+                n_mbs, mb, blob)
+            frames.append((t, int(d.pic_info()["slot"])))
+            while d.next_output() is not None:
+                pass
+        elif status >= fe.ERROR and read == 0:
+            break
+    d.close()
+    return frames
+
+
+def bench_rowshard(devices, repeats=2, w_mbs=16, h_mbs=8, n_frames=8):
+    """MB-row sharding: frames of one crafted stream decoded with the
+    halo-pipeline step over n row shards (strong scaling of a single
+    stream's frame work; the intra/deblock pipelines serialize stripes,
+    so ideal scaling applies only to phase A — measured honestly)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from h264bsd_tpu.parallel.rowshard import make_row_sharded_step
+
+    n_row = len(devices)
+    frames = _rowshard_frames(w_mbs, h_mbs, n_frames)
+    frames = [({k: jnp.asarray(v) for k, v in t.items()}, s)
+              for t, s in frames]
+    mesh = Mesh(np.array(devices), ("row",))
+    step = make_row_sharded_step(mesh, "row", w_mbs, h_mbs)
+    h, w = h_mbs * 16, w_mbs * 16
+    n_slots = 2
+
+    def run():
+        dpb = (jnp.zeros((n_slots, h, w), jnp.uint8),
+               jnp.zeros((n_slots, h // 2, w // 2), jnp.uint8),
+               jnp.zeros((n_slots, h // 2, w // 2), jnp.uint8))
+        for t, slot in frames:
+            dpb = step(t, *dpb, jnp.int32(slot))
+        jax.block_until_ready(dpb)
+
+    run()                                  # absorb compiles
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return len(frames) / best, len(frames)
+
+
 def bench_multistream(streams, mesh, rounds, repeats=2):
     import numpy as np
     from jax.sharding import Mesh
@@ -67,7 +135,7 @@ def bench_multistream(streams, mesh, rounds, repeats=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--ms-rounds", type=int, default=12)
     ap.add_argument("--gop-copies", type=int, default=4)
@@ -95,7 +163,8 @@ def main():
             ("gop", lambda n: bench_gop(gop_data, devs[:n])),
             ("multistream", lambda n: bench_multistream(
                 [data] * n_streams,
-                Mesh(np.array(devs[:n]), ("stream",)), args.ms_rounds))):
+                Mesh(np.array(devs[:n]), ("stream",)), args.ms_rounds)),
+            ("rowshard", lambda n: bench_rowshard(devs[:n]))):
         fps = {}
         frames = {}
         for n in args.devices:

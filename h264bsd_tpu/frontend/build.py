@@ -10,13 +10,31 @@ never be committed.
 from __future__ import annotations
 
 import hashlib
+import os
 import platform
 import subprocess
+from contextlib import contextmanager
 from pathlib import Path
 
 CSRC = Path(__file__).parent / "csrc"
 LIB = Path(__file__).parent / "libh264tpu_frontend.so"
 STAMP = Path(__file__).parent / "libh264tpu_frontend.stamp"
+LOCK = Path(__file__).parent / ".build.lock"
+
+
+@contextmanager
+def _exclusive_lock(path: Path):
+    """Serialize concurrent builds (pytest-xdist workers import the
+    package simultaneously; two g++ runs writing one .so corrupt it)."""
+    import fcntl
+
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 CXXFLAGS = [
     "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared", "-Wall", "-Wextra",
@@ -40,10 +58,18 @@ def build(force: bool = False) -> Path:
     if (not force and LIB.exists() and STAMP.exists()
             and STAMP.read_text().strip() == fp):
         return LIB
-    cmd = ["g++", *CXXFLAGS, *(str(s) for s in sources if s.suffix == ".cpp"),
-           "-o", str(LIB)]
-    subprocess.run(cmd, check=True)
-    STAMP.write_text(fp)
+    with _exclusive_lock(LOCK):
+        # re-check under the lock: another process may have just built
+        if (not force and LIB.exists() and STAMP.exists()
+                and STAMP.read_text().strip() == fp):
+            return LIB
+        tmp = LIB.with_suffix(f".so.tmp{os.getpid()}")
+        cmd = ["g++", *CXXFLAGS,
+               *(str(s) for s in sources if s.suffix == ".cpp"),
+               "-o", str(tmp)]
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, LIB)   # atomic: loaders never see a partial .so
+        STAMP.write_text(fp)
     return LIB
 
 

@@ -25,18 +25,41 @@ STREAMS = {
 }
 
 
+def _build_once(target: Path, build_to) -> Path:
+    """Build `target` exactly once across concurrent processes
+    (pytest-xdist workers): exclusive flock + build-to-temp + atomic
+    rename, so no process ever runs or reads a half-written artifact."""
+    if target.exists():
+        return target
+    import fcntl
+
+    WORK.mkdir(parents=True, exist_ok=True)
+    lockfile = target.with_name(target.name + ".lock")
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        if not target.exists():
+            tmp = target.with_name(f"{target.name}.tmp{os.getpid()}")
+            build_to(tmp)
+            os.replace(tmp, target)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    return target
+
+
 def reference_binary() -> Path:
     """Build the reference test binary (once) into WORK and return its path."""
-    WORK.mkdir(parents=True, exist_ok=True)
-    binary = WORK / "test_h264bsd"
-    if not binary.exists():
+    def _gcc(out: Path):
         srcs = sorted(str(p) for p in (REFERENCE / "src").glob("*.c"))
         srcs.append(str(REFERENCE / "posix" / "test_h264bsd.c"))
         subprocess.run(
-            ["gcc", "-O3", "-std=gnu99", f"-I{REFERENCE}/src", *srcs, "-o", str(binary)],
+            ["gcc", "-O3", "-std=gnu99", f"-I{REFERENCE}/src", *srcs,
+             "-o", str(out)],
             check=True,
         )
-    return binary
+
+    return _build_once(WORK / "test_h264bsd", _gcc)
 
 
 def stream_path(name: str) -> Path:
@@ -45,14 +68,14 @@ def stream_path(name: str) -> Path:
 
 def golden_yuv(name: str) -> Path:
     """Golden YUV dump (truncated-frame format, see module docstring)."""
-    out = WORK / f"golden_{name}.yuv"
-    if not out.exists():
+    def _decode(out: Path):
         binary = reference_binary()
         subprocess.run(
             [str(binary), "-o", str(out), str(stream_path(name))],
             check=True, capture_output=True,
         )
-    return out
+
+    return _build_once(WORK / f"golden_{name}.yuv", _decode)
 
 
 def golden_frames(name: str) -> list[bytes]:
@@ -132,16 +155,17 @@ def resilient_binary(intra_conceal: bool = False) -> Path:
     concealment); see RESILIENT_MAIN. With intra_conceal the oracle pokes
     the reference's intraConcealmentFlag (storage.h:148-149) so P-picture
     losses are concealed from neighbour pels."""
-    WORK.mkdir(parents=True, exist_ok=True)
     tag = "_ic" if intra_conceal else ""
-    binary = WORK / f"resilient_h264bsd{tag}"
-    if not binary.exists():
-        main_c = WORK / "resilient_main.c"
+
+    def _gcc(out: Path):
+        main_c = WORK / f"resilient_main{tag}_{os.getpid()}.c"
         main_c.write_text(RESILIENT_MAIN)
         srcs = sorted(str(p) for p in (REFERENCE / "src").glob("*.c"))
         defs = ["-DINTRA_CONCEAL=1"] if intra_conceal else []
         subprocess.run(
             ["gcc", "-O2", "-std=gnu99", *defs, f"-I{REFERENCE}/src", *srcs,
-             str(main_c), "-o", str(binary)],
+             str(main_c), "-o", str(out)],
             check=True)
-    return binary
+        main_c.unlink()
+
+    return _build_once(WORK / f"resilient_h264bsd{tag}", _gcc)

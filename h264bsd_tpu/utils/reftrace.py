@@ -49,23 +49,32 @@ class TracePicture:
 
 
 def build_tracer() -> Path:
-    binary = TRACE_DIR / "trace_h264bsd"
-    if not binary.exists():
+    from .golden import _build_once
+
+    TRACE_DIR.mkdir(parents=True, exist_ok=True)
+
+    def _make(out: Path):
         subprocess.run(
-            ["python", str(Path(__file__).parents[2] / "tools" / "make_ref_tracer.py")],
+            ["python", str(Path(__file__).parents[2] / "tools"
+                           / "make_ref_tracer.py")],
             check=True)
-    return binary
+        if out != TRACE_DIR / "trace_h264bsd":
+            os.replace(TRACE_DIR / "trace_h264bsd", out)
+
+    return _build_once(TRACE_DIR / "trace_h264bsd", _make)
 
 
 def trace_stream(name: str) -> Path:
     """Run the instrumented reference over a bundled stream (cached)."""
-    out = WORK / f"trace_{name}.bin"
-    if not out.exists():
+    from .golden import _build_once
+
+    def _run(out: Path):
         binary = build_tracer()
         env = dict(os.environ, TRACE_OUT=str(out))
         subprocess.run([str(binary), str(stream_path(name))], check=True,
                        env=env, capture_output=True)
-    return out
+
+    return _build_once(WORK / f"trace_{name}.bin", _run)
 
 
 def read_trace(path: Path, max_pics: int | None = None,

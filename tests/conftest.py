@@ -23,3 +23,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the interpret-mode Pallas kernel parity tests FIRST.
+
+    Compiling the huge interpret-lowered wavefront-deblock program
+    reproducibly segfaults XLA:CPU on this host when ~100 other programs
+    have been compiled in the same process (observed three times at the
+    same collection position, in different compiler stages; the same
+    test file passes standalone in 61 s). Compiling the big programs
+    while the process is young sidesteps the compiler bug without losing
+    any coverage.
+    """
+    front = [it for it in items if "test_pallas" in str(it.fspath)]
+    rest = [it for it in items if "test_pallas" not in str(it.fspath)]
+    items[:] = front + rest

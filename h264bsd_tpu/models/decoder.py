@@ -32,6 +32,15 @@ MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
                         # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
 
+# intra-MB count above which a frame runs the dense anti-diagonal
+# wavefront intra pass instead of the padded-list pass. The list pass
+# walks only the actual intra MBs (the raster/wavefront pass visits the
+# whole grid), so scene-change P frames with ~1k intra MBs are much
+# cheaper on the list path: on the bundled 1080p stream only the two
+# IDRs exceed 2048, and keeping the other 15 intra-heavy frames in the
+# P caps class also keeps them windowable (fewer scan flushes).
+WF_THRESH = int(os.environ.get("H264TPU_WF_THRESH", "2048"))
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -65,7 +74,8 @@ def caps_from_counts(mx, n_mbs, wavefront):
     wcap = tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
     ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
     scap = tier(mx[6], (32, max(n_mbs, 32)))
-    icap = tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
+    icap = tier(mx[5], (512, 1024, 1536, 2048, 3072, n_mbs)
+                if not wavefront else (n_mbs,))
     # dense per-MB slice ids travel only for multi-slice pictures;
     # rounded up to even so every later blob section stays 4-byte
     # aligned for the host-side u32/i32 writes (odd n_mbs pictures)
@@ -383,7 +393,7 @@ class Decoder:
 
         # sparse intra (typical P frame) -> padded-list pass; intra-heavy
         # (I frames) -> anti-diagonal wavefront pass
-        wavefront = n_intra > 512
+        wavefront = n_intra > WF_THRESH
 
         counts = (n_single, n_short, n_full, n_wide, n_exc, n_intra,
                   n_slices)
@@ -479,7 +489,9 @@ class Decoder:
             not info["conceal_from_ref"] or info["conceal_ref_slot"] < 0)
 
         y, cb, cr = self._dpb
-        blob = jnp.asarray(prep["blob"])
+        # free uint32 view: the device parses the blob as words (every
+        # section is 4-aligned); shipping words avoids a u8 bitcast pass
+        blob = jnp.asarray(prep["blob"].view(np.uint32))
         if needs_exact:
             from ..ops.conceal import conceal_picture
             ry, rcb, rcr = _recon_only_step(
@@ -546,7 +558,7 @@ class Decoder:
             self._zero_pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
                               jnp.zeros((n_mbs, 8, 8), jnp.uint8),
                               jnp.zeros((n_mbs, 8, 8), jnp.uint8))
-        blobs = np.stack([p["blob"] for p in preps])
+        blobs = np.stack([p["blob"].view(np.uint32) for p in preps])
         slots = np.array([p["info"]["slot"] for p in preps], np.int32)
         cfr = np.array([bool(p["info"]["conceal_from_ref"]) for p in preps])
         crs = np.array([p["info"]["conceal_ref_slot"] for p in preps],
@@ -675,7 +687,7 @@ def pin_caps_for_stream(data: bytes) -> dict:
             n_mbs = g["width_mbs"] * g["height_mbs"]
         elif status == fe.PIC_RDY:
             counts = [int(x) for x in d.blob_counts()]
-            wf = counts[5] > 512
+            wf = counts[5] > WF_THRESH
             prev = mx.setdefault(wf, [0] * 7)
             mx[wf] = [max(a, b) for a, b in zip(prev, counts)]
             while d.next_output() is not None:

@@ -67,6 +67,15 @@ GC = 8         # groups per grid step
 PT = 8         # top padding rows (scratch)
 PL = 128       # left padding lanes (scratch)
 
+# Edge-activity skip (lax.cond around inner-edge filter math + the
+# chroma section, driven by a per-group 12-bit mask in smeta col 15).
+# MEASURED SLOWER on v5e for the bundled 1080p stream (70.8 vs 77.7 fps
+# e2e): the scalar branches break Mosaic's software pipeline across
+# groups, costing more than the skipped VPU math saves. Kept behind an
+# env flag for future hardware/compiler revisions; default off.
+import os as _os
+EDGE_SKIP = _os.environ.get("H264TPU_DEBLOCK_SKIP", "0") == "1"
+
 
 def _round128(x):
     return -(-x // 128) * 128
@@ -132,37 +141,74 @@ def _expand_rows(cm, base, n_edges, rep, rows):
     return out
 
 
-def _filter_luma_group(regs, vm, hm):
-    """All 8 luma edges of a 4-slot (32, 128) group tile."""
-    vmaps = _expand_rows(vm, 0, 4, 4, 16)
-    for e in range(4):                     # vertical edges
-        x = 4 + 4 * e
-        bsv, beta, tcv, alpha = _unpack(vmaps[e])
-        comps = [_lsh(regs, x - 4 + j)[8:24] for j in range(8)]
-        p3, p2, p1, p0, q0, q1, q2, q3 = comps
-        outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
-                            bsv, alpha, beta, tcv)
-        mid = regs[8:24]
-        for off, comp in zip((x - 3, x - 2, x - 1, x, x + 1, x + 2), outs):
-            mid = jnp.where(_mask_mod(16, off, 32), _rsh(comp, off), mid)
-        regs = jnp.concatenate([regs[0:8], mid, regs[24:32]], 0)
+def _luma_v_edge(regs, e, vmaps):
+    x = 4 + 4 * e
+    bsv, beta, tcv, alpha = _unpack(vmaps[e])
+    comps = [_lsh(regs, x - 4 + j)[8:24] for j in range(8)]
+    p3, p2, p1, p0, q0, q1, q2, q3 = comps
+    outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
+                        bsv, alpha, beta, tcv)
+    mid = regs[8:24]
+    for off, comp in zip((x - 3, x - 2, x - 1, x, x + 1, x + 2), outs):
+        mid = jnp.where(_mask_mod(16, off, 32), _rsh(comp, off), mid)
+    return jnp.concatenate([regs[0:8], mid, regs[24:32]], 0)
 
-    for v in range(4):                     # horizontal edges
-        yy = 8 + 4 * v
-        bsv, beta, tcv, alpha = _unpack(hm[v:v + 1])
-        rows = [regs[yy - 4 + j] for j in range(8)]
-        p3, p2, p1, p0, q0, q1, q2, q3 = [t[None, :] for t in rows]
-        outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
-                            bsv, alpha, beta, tcv)
-        inside = _range_mod(1, 4, 20, 32)
-        new = [jnp.where(inside, t, old[None, :])
-               for t, old in zip(outs, rows[1:7])]
-        regs = jnp.concatenate([regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
+
+def _luma_h_edge(regs, v, hm):
+    yy = 8 + 4 * v
+    bsv, beta, tcv, alpha = _unpack(hm[v:v + 1])
+    rows = [regs[yy - 4 + j] for j in range(8)]
+    p3, p2, p1, p0, q0, q1, q2, q3 = [t[None, :] for t in rows]
+    outs = _luma_filter(p0, p1, p2, p3, q0, q1, q2, q3,
+                        bsv, alpha, beta, tcv)
+    inside = _range_mod(1, 4, 20, 32)
+    new = [jnp.where(inside, t, old[None, :])
+           for t, old in zip(outs, rows[1:7])]
+    return jnp.concatenate([regs[0:yy - 3], *new, regs[yy + 3:32]], 0)
+
+
+def _filter_luma_group(regs, vm, hm, em):
+    """All 8 luma edges of a 4-slot (32, 128) group tile.
+
+    em is the group's 12-bit edge-activity mask (bit e: any slot has a
+    nonzero bS on that edge; a bS-0 edge is the identity). The INNER
+    edges (V/H edges 1..3) are gated as one lax.cond each: typical P
+    groups only have activity on the MB-boundary edges (coded blocks /
+    MV deltas concentrate there), so 3/4 of the luma filter math skips.
+    The boundary edges run unconditionally — group-level skip already
+    culled groups with no activity at all, and finer per-edge conds
+    measured SLOWER (the branch carries the whole register tile)."""
+    vmaps = _expand_rows(vm, 0, 4, 4, 16)
+    if not EDGE_SKIP:
+        for e in range(4):
+            regs = _luma_v_edge(regs, e, vmaps)
+        for v in range(4):
+            regs = _luma_h_edge(regs, v, hm)
+        return regs
+
+    regs = _luma_v_edge(regs, 0, vmaps)
+
+    def _inner_v(regs):
+        for e in range(1, 4):
+            regs = _luma_v_edge(regs, e, vmaps)
+        return regs
+
+    regs = lax.cond((em >> 1) & 7 != 0, _inner_v, lambda r: r, regs)
+
+    regs = _luma_h_edge(regs, 0, hm)
+
+    def _inner_h(regs):
+        for v in range(1, 4):
+            regs = _luma_h_edge(regs, v, hm)
+        return regs
+
+    regs = lax.cond((em >> 5) & 7 != 0, _inner_h, lambda r: r, regs)
     return regs
 
 
-def _filter_chroma_group(cregs, vm, hm):
-    """All 4 chroma edges of a 4-slot (16, 128) cb|cr group tile."""
+def _filter_chroma_group(cregs, vm, hm, em):
+    """All 4 chroma edges of a 4-slot (16, 128) cb|cr group tile (the
+    caller already gates the whole chroma section on mask bits 8..11)."""
     cvmaps = _expand_rows(vm, 16, 2, 2, 8)
     for e in range(2):                     # vertical edges
         x = 4 + 4 * e
@@ -211,6 +257,7 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             rs = [smeta_ref[k, m] for m in range(G)]
             cs = [smeta_ref[k, G + m] for m in range(G)]
             effs = [smeta_ref[k, 2 * G + m] for m in range(G)]
+            em = smeta_ref[k, 15]              # 12-bit edge-activity mask
             vm = vm_ref[k]                     # (24, 128) V packed params
             hm = hm_ref[k]                     # (6, 128) H packed params
 
@@ -227,7 +274,7 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             regs = jnp.concatenate(parts, axis=1).astype(jnp.int32)
             # slot m lane j = frame col 16*c_m - 4 + j; rows 8..23 = MB rows
 
-            regs = _filter_luma_group(regs, vm, hm)
+            regs = _filter_luma_group(regs, vm, hm, em)
 
             regs8 = regs.astype(jnp.uint8)
             for m in range(G):                     # sequential RMW stores
@@ -242,34 +289,42 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                         lane_roll_narrow(sup, d)
 
             # ---- chroma: 32-lane slots, cb | cr halves per MB ----
-            cys = [pl.multiple_of(r * 8, 8) for r in rs]
-            cxs = [c * 8 + PL - 4 for c in cs]
-            cxas = [pl.multiple_of((cx // 128) * 128, 128) for cx in cxs]
-            cparts = []
-            for m in range(G):
-                for ref in (scb, scr):
-                    sup = lane_roll_narrow(
-                        ref[pl.ds(cys[m], 16), pl.ds(cxas[m], 256)],
-                        -(cxs[m] - cxas[m]))
-                    cparts.append(sup[:, 0:16])
-            cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
-            # half lane j = frame chroma col 8*c_m - 4 + j; rows 8..15 = MB
-
-            cregs = _filter_chroma_group(cregs, vm, hm)
-
-            cregs8 = cregs.astype(jnp.uint8)
-            for m in range(G):
-                for pi, ref in enumerate((scb, scr)):
-                    @pl.when(effs[m] != 0)
-                    def _(m=m, pi=pi, ref=ref):
-                        d = cxs[m] - cxas[m]
+            # the whole section is skipped when no chroma edge is
+            # active (EDGE_SKIP only; em >= 0 is always-true otherwise)
+            _cp = (em >> 8) & 0xF != 0 if EDGE_SKIP else em >= 0
+            @pl.when(_cp)
+            def _():
+                cys = [pl.multiple_of(r * 8, 8) for r in rs]
+                cxs = [c * 8 + PL - 4 for c in cs]
+                cxas = [pl.multiple_of((cx // 128) * 128, 128)
+                        for cx in cxs]
+                cparts = []
+                for m in range(G):
+                    for ref in (scb, scr):
                         sup = lane_roll_narrow(
-                            ref[pl.ds(cys[m], 16), pl.ds(cxas[m], 256)], -d)
-                        s = 32 * m + 16 * pi
-                        sup = jnp.concatenate(
-                            [cregs8[:, s:s + 16], sup[:, 16:]], axis=1)
-                        ref[pl.ds(cys[m], 16), pl.ds(cxas[m], 256)] = \
-                            lane_roll_narrow(sup, d)
+                            ref[pl.ds(cys[m], 16), pl.ds(cxas[m], 256)],
+                            -(cxs[m] - cxas[m]))
+                        cparts.append(sup[:, 0:16])
+                cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
+                # half lane j = frame chroma col 8*c_m - 4 + j;
+                # rows 8..15 = MB
+
+                cregs = _filter_chroma_group(cregs, vm, hm, em)
+
+                cregs8 = cregs.astype(jnp.uint8)
+                for m in range(G):
+                    for pi, ref in enumerate((scb, scr)):
+                        @pl.when(effs[m] != 0)
+                        def _(m=m, pi=pi, ref=ref):
+                            d = cxs[m] - cxas[m]
+                            sup = lane_roll_narrow(
+                                ref[pl.ds(cys[m], 16),
+                                    pl.ds(cxas[m], 256)], -d)
+                            s = 32 * m + 16 * pi
+                            sup = jnp.concatenate(
+                                [cregs8[:, s:s + 16], sup[:, 16:]], axis=1)
+                            ref[pl.ds(cys[m], 16), pl.ds(cxas[m], 256)] = \
+                                lane_roll_narrow(sup, d)
 
         return 0
 
@@ -317,6 +372,7 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
         def _():
             r0 = smeta_ref[k, 13]
             c0 = smeta_ref[k, 14]
+            em = smeta_ref[k, 15]              # 12-bit edge-activity mask
             vm = vm_ref[k]                     # (24, 128) V packed params
             hm_ = hm_ref[k]                    # (6, 128) H packed params
 
@@ -339,7 +395,7 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                      L64[16 * m + 24:16 * m + 32, 0:32]], axis=0))
             regs = jnp.concatenate(parts, axis=1).astype(jnp.int32)
 
-            regs = _filter_luma_group(regs, vm, hm_)
+            regs = _filter_luma_group(regs, vm, hm_, em)
 
             regs8 = regs.astype(jnp.uint8)
             R = [lane_roll_narrow(regs8, -32 * m)[:, 0:32] if m else
@@ -362,40 +418,48 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             sy[pl.ds(ly, 80), pl.ds(lba, 256)] = lane_roll_narrow(upd, d)
 
             # ---- chroma: one load/store per plane, cb|cr slot halves ----
-            cy = pl.multiple_of(r0 * 8, 8)
-            cbase = c0 * 8 + r0 * 16 + PLS - 20
-            cba = pl.multiple_of((cbase // 128) * 128, 128)
-            dc = cbase - cba
-            Lc = [lane_roll_narrow(ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
-                  for ref in (scb, scr)]
-            Lc16 = [lane_roll_narrow(Lp, -16) for Lp in Lc]
-            cparts = []
-            for m in range(G):
-                for Lp, Lp16 in zip(Lc, Lc16):
-                    cparts.append(jnp.concatenate(
-                        [Lp[8 * m:8 * m + 8, 0:16],
-                         Lp16[8 * m + 8:8 * m + 16, 0:16]], axis=0))
-            cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
-
-            cregs = _filter_chroma_group(cregs, vm, hm_)
-
-            cregs8 = cregs.astype(jnp.uint8)
-            for pi, ref in enumerate((scb, scr)):
-                Cm = [lane_roll_narrow(cregs8, -(32 * m + 16 * pi))[:, 0:16]
-                      if (32 * m + 16 * pi) else cregs8[:, 0:16]
-                      for m in range(G)]
-                Lf = lane_roll_narrow(
+            # skipped entirely when no chroma edge is active
+            # (EDGE_SKIP only; em >= 0 is always-true otherwise)
+            _cp = (em >> 8) & 0xF != 0 if EDGE_SKIP else em >= 0
+            @pl.when(_cp)
+            def _():
+                cy = pl.multiple_of(r0 * 8, 8)
+                cbase = c0 * 8 + r0 * 16 + PLS - 20
+                cba = pl.multiple_of((cbase // 128) * 128, 128)
+                dc = cbase - cba
+                Lc = [lane_roll_narrow(
                     ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
-                LfB = lane_roll_narrow(Lf, -16)[:, 0:16]
-                colA = jnp.concatenate(
-                    [Cm[0][0:8], Cm[1][0:8], Cm[2][0:8], Cm[3][0:8],
-                     Lf[32:40, 0:16]], axis=0)
-                colB = jnp.concatenate(
-                    [LfB[0:8], Cm[0][8:16], Cm[1][8:16], Cm[2][8:16],
-                     Cm[3][8:16]], axis=0)
-                upd = jnp.concatenate([colA, colB, Lf[:, 32:256]], axis=1)
-                ref[pl.ds(cy, 40), pl.ds(cba, 256)] = \
-                    lane_roll_narrow(upd, dc)
+                    for ref in (scb, scr)]
+                Lc16 = [lane_roll_narrow(Lp, -16) for Lp in Lc]
+                cparts = []
+                for m in range(G):
+                    for Lp, Lp16 in zip(Lc, Lc16):
+                        cparts.append(jnp.concatenate(
+                            [Lp[8 * m:8 * m + 8, 0:16],
+                             Lp16[8 * m + 8:8 * m + 16, 0:16]], axis=0))
+                cregs = jnp.concatenate(cparts, axis=1).astype(jnp.int32)
+
+                cregs = _filter_chroma_group(cregs, vm, hm_, em)
+
+                cregs8 = cregs.astype(jnp.uint8)
+                for pi, ref in enumerate((scb, scr)):
+                    Cm = [lane_roll_narrow(
+                        cregs8, -(32 * m + 16 * pi))[:, 0:16]
+                        if (32 * m + 16 * pi) else cregs8[:, 0:16]
+                        for m in range(G)]
+                    Lf = lane_roll_narrow(
+                        ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
+                    LfB = lane_roll_narrow(Lf, -16)[:, 0:16]
+                    colA = jnp.concatenate(
+                        [Cm[0][0:8], Cm[1][0:8], Cm[2][0:8], Cm[3][0:8],
+                         Lf[32:40, 0:16]], axis=0)
+                    colB = jnp.concatenate(
+                        [LfB[0:8], Cm[0][8:16], Cm[1][8:16], Cm[2][8:16],
+                         Cm[3][8:16]], axis=0)
+                    upd = jnp.concatenate([colA, colB, Lf[:, 32:256]],
+                                          axis=1)
+                    ref[pl.ds(cy, 40), pl.ds(cba, 256)] = \
+                        lane_roll_narrow(upd, dc)
 
         return 0
 
@@ -463,11 +527,24 @@ def _compact_map(bs_left, bs_top, l_alpha, l_beta, l_tc0,
     pch32 = jnp.concatenate([pch, pch], axis=2)              # (n,2,32)
 
     anyedge = ((bs_left.max(axis=1) > 0) | (bs_top.max(axis=1) > 0))
+
+    # 12-bit per-MB edge-activity mask (bit e = any nonzero bS on that
+    # edge): 0..3 luma V, 4..7 luma H, 8..9 chroma V, 10..11 chroma H.
+    # Per-group ORs of this mask let the kernel skip inactive edges.
+    act_lv = (bs_v.max(axis=2) > 0)                      # (n, 4)
+    act_lh = (bth.max(axis=2) > 0)                       # (n, 4)
+    act_cv = (bs_cv.max(axis=2) > 0)                     # (n, 2)
+    act_ch = (bth[:, ::2].max(axis=2) > 0)               # (n, 2)
+    bits = jnp.concatenate([act_lv, act_lh, act_cv, act_ch], axis=1)
+    emask = (bits.astype(jnp.int32)
+             * (1 << jnp.arange(12))[None, :]).sum(axis=1)
+
     v = jnp.concatenate([pv, pcv], axis=1)                   # (n, 24)
     h = jnp.concatenate([ph.reshape(n, 4, 32), pch32],
                         axis=1).reshape(n, 192)              # (n, 6*32)
     return jnp.concatenate(
-        [anyedge[:, None].astype(jnp.int32), v, h], axis=1)  # (n, 217)
+        [anyedge[:, None].astype(jnp.int32), v, h,
+         emask[:, None]], axis=1)                            # (n, 218)
 
 
 def _wavefront_arrange(arr, width_mbs, height_mbs, hm_pad):
@@ -520,9 +597,13 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
 
     valid = jnp.asarray(sm_static[:, 2 * G:3 * G])          # (nG, G)
     eff = ((wf[:, :, 0] != 0) & (valid != 0)).astype(jnp.int32)
+    # group edge-activity mask: OR of the effective slots' 12-bit masks
+    ms = jnp.where(eff != 0, wf[:, :, 217].astype(jnp.int32), 0)
+    gmask = ms[:, 0] | ms[:, 1] | ms[:, 2] | ms[:, 3]
     smeta = jnp.asarray(sm_static) \
         .at[:, 2 * G:3 * G].set(eff) \
-        .at[:, 12].set(eff.max(axis=1))
+        .at[:, 12].set(eff.max(axis=1)) \
+        .at[:, 15].set(gmask)
 
     # kernel map tensors (invalid slots need no masking: their lanes are
     # computed but never stored). V values slot-broadcast over 32 lanes;

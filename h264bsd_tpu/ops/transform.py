@@ -198,14 +198,18 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     mb = ids // 26
     b = ids % 26
 
-    # dense DC arrays from the sparse DC entries (rows for AC entries and
-    # padding are dropped into the spare row)
-    ldc_raw = jnp.zeros((n_mb + 1, 16), jnp.int32).at[
-        jnp.where(valid & (b == 24), mb, n_mb)].set(
-        sparse_levels.astype(jnp.int32), mode="drop")[:n_mb]
-    cdc_raw = jnp.zeros((n_mb + 1, 16), jnp.int32).at[
-        jnp.where(valid & (b == 25), mb, n_mb)].set(
-        sparse_levels.astype(jnp.int32), mode="drop")[:n_mb, :8]
+    # dense DC arrays from the sparse DC entries (AC/padding entries are
+    # remapped to distinct spare rows so the scatter keeps truly unique
+    # indices — XLA's fast path; a shared spare row is the slow generic
+    # scatter and UB under unique_indices)
+    from .unpack import scatter_unique
+    lv32 = sparse_levels.astype(jnp.int32)
+    ldc_raw = scatter_unique(jnp.zeros((n_mb, 16), jnp.int32),
+                             jnp.where(valid & (b == 24), mb, n_mb),
+                             lv32, n_mb)
+    cdc_raw = scatter_unique(jnp.zeros((n_mb, 16), jnp.int32),
+                             jnp.where(valid & (b == 25), mb, n_mb),
+                             lv32, n_mb)[:, :8]
 
     ldc = jnp.where((nnz_dc[:, 0] > 0)[:, None],
                     luma_dc_transform(ldc_raw, qp_y), ldc_raw)
@@ -233,11 +237,9 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
                        (ldc + 32) >> 6, 0)               # (nMB, 16)
     base_c = (cdc + 32) >> 6                             # (nMB, 8)
     base = jnp.concatenate([base_l, base_c], axis=1)     # (nMB, 24)
-    residual = jnp.broadcast_to(base[:, :, None], (n_mb, 24, 16))
-    residual = jnp.concatenate(
-        [residual.reshape(n_mb * 24, 16),
-         jnp.zeros((1, 16), jnp.int32)], axis=0)
+    residual = jnp.broadcast_to(base[:, :, None],
+                                (n_mb, 24, 16)).reshape(n_mb * 24, 16)
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
-    residual = residual.at[scatter_id].set(res_e, mode="drop")
-    residual = residual[:n_mb * 24].reshape(n_mb, 24, 16)
+    residual = scatter_unique(residual, scatter_id, res_e, n_mb * 24)
+    residual = residual.reshape(n_mb, 24, 16)
     return mb_residual_planes(residual)

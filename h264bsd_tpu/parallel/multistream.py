@@ -47,7 +47,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..frontend import binding as fe
 from ..models.decoder import (_decode_step, _deblock_store_step,
-                              _recon_only_step, ladder)
+                              _recon_only_step, caps_from_counts,
+                              WF_THRESH)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs", "caps",
@@ -142,19 +143,11 @@ class MultiStreamDecoder:
         # shared tier caps for the round (same ladder as the single-stream
         # path so compiled shapes are shared with it where N matches)
         mx = [max(c[k] for c, _, _ in ready.values()) for k in range(7)]
-        sgl = _tier(mx[0], ladder(2048, 8) + (max(n_mbs * 26, 2048),))
-        sht = _tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
-        cap = _tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
-        wcap = _tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
-        ecap = _tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
-        scap = _tier(mx[6], (32, max(n_mbs, 32)))
-        wavefront = mx[5] > 512
-        icap = _tier(mx[5], (512, n_mbs) if not wavefront else (n_mbs,))
-        # even-rounded for 4-byte section alignment (see decoder._prepare)
-        sidcap = 0 if mx[6] <= 1 else (n_mbs + 1) & ~1
-        caps = (sgl, sht, cap, wcap, ecap, icap, scap, sidcap)
+        wavefront = mx[5] > WF_THRESH
+        caps = caps_from_counts(mx, n_mbs, wavefront)
 
         if caps not in self._zero_blob:
+            sgl, sht, cap, wcap, ecap, icap, scap, sidcap = caps
             size = (n_mbs * 12 + scap * 4 + sidcap * 2 + sgl * 4 +
                     sht * 12 + cap * 20 + wcap * 8 + ecap * 68 + icap * 20)
             self._zero_blob[caps] = np.zeros(size, np.uint8)

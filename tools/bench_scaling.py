@@ -81,6 +81,7 @@ def bench_rowshard(devices, repeats=2, w_mbs=16, h_mbs=8, n_frames=8):
     so ideal scaling applies only to phase A — measured honestly)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.sharding import Mesh
 
     from h264bsd_tpu.parallel.rowshard import make_row_sharded_step

@@ -62,8 +62,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_deblock import _chroma_filter, _lsh, _luma_filter, _rsh
 from .pallas_util import lane_roll_narrow
 
+import os as _os_gc
+
 G = 4          # MBs per wavefront group (one 128-lane tile)
-GC = 8         # groups per grid step
+# groups per grid step (tunable: fewer grid steps amortize the per-step
+# scalar prologue; more steps pipeline input-map streaming better)
+GC = int(_os_gc.environ.get("H264TPU_DEBLOCK_GC", "8"))
 PT = 8         # top padding rows (scratch)
 PL = 128       # left padding lanes (scratch)
 

@@ -179,6 +179,71 @@ def run_multichip_dryrun(n_devices: int) -> None:
             assert np.array_equal(np.asarray(got), np.asarray(want)), \
                 "sharded decode diverged from the single-device step"
 
+    # second phase: the PRODUCTION transfer format through the row axis —
+    # the blob-consuming sharded step (device unpack + sparse residual +
+    # stripe pipelines) vs the single-chip fast step, byte-compared
+    if n_row >= 2:
+        _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs)
+
+
+def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
+    from jax.sharding import Mesh
+
+    from ..frontend import binding as fe
+    from ..models.decoder import (Decoder, _decode_step,
+                                  pin_caps_for_stream)
+    from ..parallel.rowshard import make_row_sharded_blob_step
+    from ..utils.streamgen import make_conformance_stream
+
+    row_mesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:n_row], ("row",))
+    data = make_conformance_stream(width_mbs=w_mbs, height_mbs=h_mbs,
+                                   n_frames=3)
+    dec = Decoder(caps_pin=pin_caps_for_stream(data))
+    single = sharded = None
+    steps = {}
+    pos = 0
+    while pos < len(data):
+        status, read = dec._fe.decode(data[pos:], 0)
+        pos += read
+        if status == fe.HDRS_RDY:
+            dec._geom = dec._fe.stream_info()
+        elif status == fe.PIC_RDY:
+            prep = dec._prepare()
+            while dec._fe.next_output() is not None:
+                pass
+            if single is None:
+                info = dec._fe.stream_info()
+                ns = info["dpb_slots"]
+                h, w = h_mbs * 16, w_mbs * 16
+                single = (jnp.zeros((ns, h, w), jnp.uint8),
+                          jnp.zeros((ns, h // 2, w // 2), jnp.uint8),
+                          jnp.zeros((ns, h // 2, w // 2), jnp.uint8))
+                sharded = single
+            n_mbs = prep["n_mbs"]
+            pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
+                   jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+                   jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+            blob = jnp.asarray(prep["blob"].view(np.uint32))
+            pi = prep["info"]
+            slot = jnp.int32(pi["slot"])
+            single = _decode_step(
+                blob, *single, *pcm, slot,
+                jnp.bool_(pi["conceal_from_ref"]),
+                jnp.int32(pi["conceal_ref_slot"]), w_mbs, h_mbs,
+                prep["caps"], prep["wavefront"],
+                jnp.asarray(prep["used_slots"]), False, False)
+            if prep["caps"] not in steps:
+                steps[prep["caps"]] = make_row_sharded_blob_step(
+                    row_mesh, "row", w_mbs, h_mbs, prep["caps"])
+            sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot)
+        elif status >= fe.ERROR and read == 0:
+            break
+    jax.block_until_ready((single, sharded))
+    dec.close()
+    for got, want in zip(sharded, single):
+        assert np.array_equal(np.asarray(got), np.asarray(want)), \
+            "blob-path sharded decode diverged from the fast step"
+
 
 def entry_fn_check():
     fn, args = entry_fn_and_args()

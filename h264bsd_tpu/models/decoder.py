@@ -399,13 +399,20 @@ class Decoder:
                   n_slices)
         pin = None
         if self._caps_pin is not None and wavefront in self._caps_pin:
-            p = self._caps_pin[wavefront]
-            # the pin only applies when the frame actually fits (the C++
-            # blob builder clamps overflow silently); a frame beyond the
-            # pinned tiers falls back to the sticky path
-            if (all(counts[k] <= p[k] for k in range(7))
-                    and (n_slices <= 1 or p[7] > 0)):
-                pin = p
+            tiers = self._caps_pin[wavefront]
+            if isinstance(tiers, tuple):
+                tiers = [tiers]
+            # first pinned tier the frame fits (the C++ blob builder
+            # clamps overflow silently, so fit is checked exactly); the
+            # TYPICAL tier comes first — sparse-scatter cost on device
+            # scales with the cap, not the actual count, so common P
+            # frames must not pay the worst frame's caps. A frame beyond
+            # every pinned tier falls back to the sticky path.
+            for p in tiers:
+                if (all(counts[k] <= p[k] for k in range(7))
+                        and (n_slices <= 1 or p[7] > 0)):
+                    pin = p
+                    break
         if pin is not None:
             # PINNED caps (pin_caps_for_stream dry parse): exactly one
             # caps tuple per wavefront class for the whole stream, so the
@@ -667,16 +674,22 @@ class Decoder:
         return msgs
 
 
-def pin_caps_for_stream(data: bytes) -> dict:
+def pin_caps_for_stream(data: bytes, typical_pct: float = 90.0) -> dict:
     """Dry-parse a stream (C++ front-end only, no device work) and return
-    the {wavefront_class: caps_tuple} pin covering every frame — pass as
-    Decoder(caps_pin=...) so the whole decode uses exactly one caps tuple
-    per class and the XLA compile surface is bounded before the first
-    dispatch (each novel tier combo costs a multi-second compile on the
-    tunneled TPU; the sticky-caps history discovers tiers incrementally
-    and can step through several)."""
+    a {wavefront_class: [typical_caps, max_caps]} pin — pass as
+    Decoder(caps_pin=...) so the whole decode uses at most two caps
+    tuples per class and the XLA compile surface is bounded before the
+    first dispatch (each novel tier combo costs a multi-second compile on
+    the tunneled TPU; the sticky-caps history discovers tiers
+    incrementally and can step through several).
+
+    TWO tiers per class because cap size is not just padding: the
+    device-side sparse-residual scatter costs ~73 ns per CAP row on a
+    v5e, so typical frames must not pay the worst frame's caps. The
+    typical tier covers `typical_pct` percent of the class's frames
+    (per-component percentile); the rest use the max tier."""
     d = fe.FrontendDecoder(no_output_reordering=True)
-    mx: dict = {}
+    per: dict = {}
     n_mbs = 0
     pos = 0
     while pos < len(data):
@@ -688,14 +701,22 @@ def pin_caps_for_stream(data: bytes) -> dict:
         elif status == fe.PIC_RDY:
             counts = [int(x) for x in d.blob_counts()]
             wf = counts[5] > WF_THRESH
-            prev = mx.setdefault(wf, [0] * 7)
-            mx[wf] = [max(a, b) for a, b in zip(prev, counts)]
+            per.setdefault(wf, []).append(counts)
             while d.next_output() is not None:
                 pass
         elif status >= fe.ERROR and read == 0:
             break
     d.close()
-    return {wf: caps_from_counts(m, n_mbs, wf) for wf, m in mx.items()}
+    pins = {}
+    for wf, rows in per.items():
+        a = np.asarray(rows)
+        mx = a.max(axis=0).tolist()
+        typ = np.percentile(a, typical_pct, axis=0,
+                            method="higher").astype(int).tolist()
+        c_max = caps_from_counts(mx, n_mbs, wf)
+        c_typ = caps_from_counts(typ, n_mbs, wf)
+        pins[wf] = [c_typ, c_max] if c_typ != c_max else [c_max]
+    return pins
 
 
 def decode_stream(data: bytes, max_pictures: int | None = None,

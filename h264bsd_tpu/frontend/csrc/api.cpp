@@ -58,6 +58,12 @@ void h264tpu_flush_buffer(void* inst) {
   static_cast<Decoder*>(inst)->flush_buffer();
 }
 
+// reference h264bsdCheckValidParamSets (decoder.h:82): 1 when at least
+// one stored SPS/PPS combination is valid, else 0
+u32 h264tpu_valid_param_sets(void* inst) {
+  return static_cast<Decoder*>(inst)->valid_param_sets() ? 1u : 0u;
+}
+
 // GOP-splitter helper: peek whether an IDR slice NAL begins a new primary
 // picture (see Decoder::peek_idr_boundary). 1/0/-1 = yes/no/undecidable.
 int h264tpu_peek_idr_boundary(void* inst, const u8* data, u32 len) {

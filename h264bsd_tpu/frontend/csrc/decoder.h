@@ -124,6 +124,18 @@ class Decoder {
     return id < sps_.size() ? sps_[id].get() : nullptr;
   }
 
+  // True when at least one stored PPS references a stored SPS and
+  // conforms to its geometry (reference h264bsdCheckValidParamSets
+  // decoder.h:82 -> h264bsdValidParamSets storage.c:863-885).
+  bool valid_param_sets() const {
+    for (const auto& pps : pps_) {
+      if (!pps) continue;
+      const Sps* sps = sps_by_id(pps->sps_id);
+      if (sps && ok(check_pps_vs_sps(*pps, *sps))) return true;
+    }
+    return false;
+  }
+
  private:
   u32 decode_inner(const u8* data, u32 len, u32 pic_id, u32* read_bytes);
   Status check_access_unit_boundary(const BitReader& br, const NalUnit& nal,

@@ -634,6 +634,11 @@ class Decoder:
     def video_full_range(self):
         return bool(self._geom["full_range"])
 
+    def check_valid_param_sets(self) -> bool:
+        """True when at least one valid SPS/PPS combination has been
+        received (reference h264bsdCheckValidParamSets decoder.h:82)."""
+        return self._fe.valid_param_sets()
+
     def take_sei_messages(self):
         """Drain and decode every SEI message received since the last
         call (list of frontend.sei.SeiMessage). Goes beyond the reference,

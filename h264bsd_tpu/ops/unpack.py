@@ -100,11 +100,17 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     # per-slice deblock parameters; concealed MBs override them with zeros
     # (ConcealMb conceal.c:388-392 fixes filterOffsetA/B and
     # chromaQpIndexOffset to 0 regardless of the slice the MB belonged to).
-    # One-hot contraction, not a row gather (see transform.lut_onehot).
+    # One-hot contraction for small tables (see transform.lut_onehot); the
+    # one-hot is O(nMB * S), so slice-heavy pictures (e.g. slice-per-row
+    # low-latency encodes, S up to nMB) fall back to the plain row gather
+    # whose ~73 ns/row price is far below an (nMB, nMB, 4) select+sum.
     from .transform import lut_onehot
     sidx = t["slice_id"].astype(jnp.int32)
     concealed = (t["mb_class"] == 6)[:, None]
-    rows = lut_onehot(slice_table.astype(jnp.int32), sidx)
+    if slice_table.shape[0] <= 64:
+        rows = lut_onehot(slice_table.astype(jnp.int32), sidx)
+    else:
+        rows = slice_table.astype(jnp.int32)[sidx]
     row = jnp.where(concealed, 0, rows)
     t["filter_off_a"] = row[:, 0].astype(jnp.int8)
     t["filter_off_b"] = row[:, 1].astype(jnp.int8)

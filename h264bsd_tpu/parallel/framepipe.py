@@ -47,9 +47,13 @@ from ..ops.reconstruct import build_pcm_tensors
 
 
 def make_framepipe_step(mesh, axis, width_mbs, height_mbs, caps,
-                        wavefront):
+                        wavefront, mc_pallas=False, deblock_pallas=False):
     """Jitted one-frame step: the `owner` device decodes, then the new
-    planes ride the axis collective into every DPB replica."""
+    planes ride the axis collective into every DPB replica.
+
+    mc_pallas/deblock_pallas put the production Pallas kernels on the
+    per-frame body (the same flags Decoder._prepare selects on TPU);
+    defaults keep the XLA paths for non-TPU meshes."""
 
     def body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, owner,
              slot, cfr, crs, used):
@@ -59,7 +63,8 @@ def make_framepipe_step(mesh, axis, width_mbs, height_mbs, caps,
         def active(_):
             dy, dcb, dcr = _frame_decode_body(
                 blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
-                cfr, crs, width_mbs, height_mbs, caps, wavefront, used)
+                cfr, crs, width_mbs, height_mbs, caps, wavefront, used,
+                mc_pallas, deblock_pallas)
             return (dy[slot].astype(jnp.uint32),
                     dcb[slot].astype(jnp.uint32),
                     dcr[slot].astype(jnp.uint32))
@@ -92,10 +97,16 @@ def decode_stream_framepipe(data: bytes, mesh, axis: str = "pipe",
     collective. Yields OutputPicture in display order, bit-exact with the
     single-device decoder.
 
-    Clean and device-concealable error paths are supported; a picture
-    needing the host-side exact spiral concealment (partial loss without
-    a usable reference) raises ValueError — decode such streams on the
-    single-device path."""
+    Clean and device-concealable error paths run inside the collective
+    step; a picture needing the host-side exact spiral concealment
+    (partial loss without a usable reference, the reference's sequential
+    neighbour-DC synthesis h264bsd_conceal.c:124-254) is EVICTED from
+    the pipeline for that frame: it runs the same exact three-stage path
+    as the single-stream decoder (_recon_only_step -> host spiral ->
+    _deblock_store_step) and the repaired DPB is re-replicated across
+    the mesh — the handoff collective resumes at the next frame. Mirrors
+    multistream's eviction so config 4 survives the corrupt streams the
+    reference survives, byte-exact (tests/test_framepipe.py)."""
     n_dev = mesh.shape[axis]
     pin = pin_caps_for_stream(data)
     dec = Decoder(caps_pin=pin)
@@ -118,11 +129,9 @@ def decode_stream_framepipe(data: bytes, mesh, axis: str = "pipe",
             n_mbs = prep["n_mbs"]
             n_conc = info["num_concealed_mbs"]
             partial_loss = 0 < n_conc < n_mbs
-            if partial_loss and (not info["conceal_from_ref"]
-                                 or info["conceal_ref_slot"] < 0):
-                raise ValueError(
-                    "framepipe: picture needs host-side exact spiral "
-                    "concealment; use the single-device decoder")
+            needs_exact = partial_loss and (
+                not info["conceal_from_ref"]
+                or info["conceal_ref_slot"] < 0)
             if dpb is None:
                 # re-read: dpb_slots is only final after param-set
                 # activation (the HDRS_RDY-time value can be smaller, and
@@ -147,17 +156,47 @@ def decode_stream_framepipe(data: bytes, mesh, axis: str = "pipe",
                                 jnp.zeros((n_mbs, 8, 8), jnp.uint8),
                                 jnp.zeros((n_mbs, 8, 8), jnp.uint8))
                 pcm = zero_pcm
-            key = (prep["caps"], prep["wavefront"])
-            if key not in steps:
-                steps[key] = make_framepipe_step(
-                    mesh, axis, prep["w_mbs"], prep["h_mbs"],
-                    prep["caps"], prep["wavefront"])
-            dpb = steps[key](
-                jnp.asarray(prep["blob"]), *dpb, *pcm,
-                jnp.int32(frame_i % n_dev), jnp.int32(info["slot"]),
-                jnp.bool_(info["conceal_from_ref"]),
-                jnp.int32(info["conceal_ref_slot"]),
-                jnp.asarray(prep["used_slots"]))
+            if needs_exact:
+                # EVICTION: exact three-stage concealment outside the
+                # collective (multistream's pattern), then re-replicate
+                from ..models.decoder import (_deblock_store_step,
+                                              _recon_only_step)
+                from ..ops.conceal import conceal_picture
+                blob = jnp.asarray(prep["blob"].view(np.uint32))
+                ry, rcb, rcr = _recon_only_step(
+                    blob, *dpb, *pcm, prep["w_mbs"], prep["h_mbs"],
+                    prep["caps"], prep["wavefront"],
+                    jnp.asarray(prep["used_slots"]), prep["mc_pallas"],
+                    prep["deblock_pallas"])
+                yn = np.asarray(ry).copy()
+                cbn = np.asarray(rcb).copy()
+                crn = np.asarray(rcr).copy()
+                mb_class = prep["blob"][:n_mbs * 12].reshape(
+                    n_mbs, 12)[:, 1] & 7
+                conceal_picture(yn, cbn, crn, mb_class != 6,
+                                prep["w_mbs"], prep["h_mbs"],
+                                bool(info["conceal_from_ref"]), None)
+                new = _deblock_store_step(
+                    jnp.asarray(yn), jnp.asarray(cbn), jnp.asarray(crn),
+                    blob, *dpb, jnp.int32(info["slot"]), prep["w_mbs"],
+                    prep["h_mbs"], prep["caps"], prep["deblock_pallas"])
+                dpb = tuple(jax.device_put(np.asarray(p), rep_sharding)
+                            for p in new)
+            else:
+                key = (prep["caps"], prep["wavefront"], prep["w_mbs"],
+                       prep["h_mbs"], prep["mc_pallas"],
+                       prep["deblock_pallas"])
+                if key not in steps:
+                    steps[key] = make_framepipe_step(
+                        mesh, axis, prep["w_mbs"], prep["h_mbs"],
+                        prep["caps"], prep["wavefront"],
+                        prep["mc_pallas"], prep["deblock_pallas"])
+                dpb = steps[key](
+                    jnp.asarray(prep["blob"]), *dpb, *pcm,
+                    jnp.int32(frame_i % n_dev), jnp.int32(info["slot"]),
+                    jnp.bool_(info["conceal_from_ref"]),
+                    jnp.int32(info["conceal_ref_slot"]),
+                    jnp.asarray(prep["used_slots"]))
             frame_i += 1
             dec._dpb = dpb
             while (o := dec._fe.next_output()) is not None:

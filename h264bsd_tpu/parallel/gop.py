@@ -79,7 +79,16 @@ def split_gops(data: bytes):
         for i, (payload, start, t) in enumerate(nals):
             end = nals[i + 1][1] if i + 1 < len(nals) else len(data)
             if t in (7, 8):          # SPS/PPS: feed the peek registry
-                peek.decode(data[start:end], 0)
+                # loop until the chunk is fully consumed — a partial
+                # consume would silently drop the parameter set and
+                # degrade the IDR peek to the first-header-bit
+                # heuristic, which can't detect redundant IDR slices
+                p = start
+                while p < end:
+                    _, read = peek.decode(data[p:end], 0)
+                    if read == 0:
+                        break
+                    p += read
             elif t == 5:
                 r = peek.peek_idr_boundary(data[start:end])
                 opens = (r == 1) if r >= 0 else \

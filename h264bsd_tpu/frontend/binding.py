@@ -49,6 +49,11 @@ def _configure(L: ct.CDLL) -> None:
         ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ct.POINTER(ct.c_uint64)]
+    L.h264tpu_blob_compact.restype = ct.c_void_p
+    L.h264tpu_blob_compact.argtypes = [
+        ct.c_void_p, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
+        ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32, ct.c_uint32,
+        ct.POINTER(ct.c_uint64)]
     L.h264tpu_flush_buffer.restype = None
     L.h264tpu_flush_buffer.argtypes = [ct.c_void_p]
     L.h264tpu_valid_param_sets.restype = ct.c_uint32
@@ -270,16 +275,18 @@ class FrontendDecoder:
                                ct.byref(size))
         return counts
 
-    def blob(self, single_cap, short_cap, full_cap, wide_cap, exc_cap,
-             intra_cap, stab_cap, sid_cap) -> np.ndarray:
-        """Tier-padded single transfer blob (layout: build_blob,
-        mbparse.cpp)."""
-        counts = np.zeros(7, np.uint32)
+    def blob_compact(self, single_cap, short_cap, full_cap, wide_cap,
+                     exc_cap, intra_cap, stab_cap, sid_cap,
+                     total_bytes) -> np.ndarray:
+        """Compact transfer blob: sections at their REAL counts behind a
+        64-byte count header, zero-padded to total_bytes (layout:
+        build_blob_compact, mbparse.cpp). Transfer volume tracks content
+        instead of the caps; the device derives offsets from the header
+        and masks entries beyond the counts (ops.unpack)."""
         size = ct.c_uint64(0)
-        ptr = self._lib.h264tpu_blob(self._h, single_cap, short_cap,
-                                     full_cap, wide_cap, exc_cap,
-                                     intra_cap, stab_cap, sid_cap, counts,
-                                     ct.byref(size))
+        ptr = self._lib.h264tpu_blob_compact(
+            self._h, single_cap, short_cap, full_cap, wide_cap, exc_cap,
+            intra_cap, stab_cap, sid_cap, total_bytes, ct.byref(size))
         buf = (ct.c_char * size.value).from_address(ptr)
         # copy: the C++ blob buffer is reused by the next frame while this
         # one may still be in flight to the device
@@ -289,10 +296,10 @@ class FrontendDecoder:
         return self._raw(26, np.int8).reshape(-1, 4)
 
     def mv_exceptions(self):
-        """(ids u32[N], payload u8[N,64]: 16 packed u32 blocks,
-        x13 | y13<<13 | (ref+1)<<26)."""
+        """(ids u32[N] = mb*4 + quadrant, payload u8[N,16]: 4 packed u32
+        blocks of that 8x8 quadrant, x13 | y13<<13 | (ref+1)<<26)."""
         ids = self._raw(27, np.uint32)
-        payload = self._raw(28, np.uint8).reshape(-1, 64)
+        payload = self._raw(28, np.uint8).reshape(-1, 16)
         return ids, payload
 
     def intra_payload(self) -> np.ndarray:

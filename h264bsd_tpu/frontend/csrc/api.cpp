@@ -143,13 +143,12 @@ const void* h264tpu_packed(void* inst, u64* size_bytes) {
   return t.packed.data();
 }
 
-// Build the per-frame transfer blob. Pre-query with single_cap == 0:
-// out_counts7 = [n_single, n_short, n_full, n_wide, n_exc, n_intra,
-// n_slices] (the caller picks tier caps from these).
-const void* h264tpu_blob(void* inst, u32 single_cap, u32 short_cap,
-                         u32 full_cap, u32 wide_cap, u32 exc_cap,
-                         u32 intra_cap, u32 stab_cap, u32 sid_cap,
-                         u32* out_counts7, u64* size_bytes) {
+// Count query (caps args are legacy-ignored): out_counts7 = [n_single,
+// n_short, n_full, n_wide, n_exc_quads, n_intra, n_slices] — the caller
+// picks tier caps from these, then builds via h264tpu_blob_compact.
+// Also (re)builds + classifies the packed records.
+const void* h264tpu_blob(void* inst, u32, u32, u32, u32, u32, u32, u32,
+                         u32, u32* out_counts7, u64* size_bytes) {
   FrameTensors& t = const_cast<FrameTensors&>(
       static_cast<Decoder*>(inst)->tensors());
   t.build_packed();
@@ -161,12 +160,23 @@ const void* h264tpu_blob(void* inst, u32 single_cap, u32 short_cap,
   out_counts7[4] = u32(t.mv_exc_id.size());
   out_counts7[5] = u32(t.intra_mbs.size());
   out_counts7[6] = u32(t.slice_table.size() / 4);
-  if (single_cap == 0 && short_cap == 0 && full_cap == 0) {  // size query
-    *size_bytes = 0;
-    return nullptr;
-  }
-  t.build_blob(single_cap, short_cap, full_cap, wide_cap, exc_cap,
-               intra_cap, stab_cap, sid_cap);
+  *size_bytes = 0;
+  return nullptr;
+}
+
+// Compact variant of h264tpu_blob (build_blob_compact, mbparse.cpp):
+// sections at their real counts behind a 64-byte count header, zero-
+// padded to total_bytes. Caller computes total_bytes >= the compact size.
+const void* h264tpu_blob_compact(void* inst, u32 single_cap, u32 short_cap,
+                                 u32 full_cap, u32 wide_cap, u32 exc_cap,
+                                 u32 intra_cap, u32 stab_cap, u32 sid_cap,
+                                 u32 total_bytes, u64* size_bytes) {
+  FrameTensors& t = const_cast<FrameTensors&>(
+      static_cast<Decoder*>(inst)->tensors());
+  t.build_packed();
+  t.classify_sparse();
+  t.build_blob_compact(single_cap, short_cap, full_cap, wide_cap, exc_cap,
+                       intra_cap, stab_cap, sid_cap, total_bytes);
   *size_bytes = t.blob.size();
   return t.blob.data();
 }

@@ -262,16 +262,20 @@ void FrameTensors::clear_picture() {
 }
 
 void FrameTensors::build_packed() {
-  // compact 12-byte per-MB record (AoS, device does the SoA split):
+  // compact 8-byte per-MB record (AoS, device does the SoA split):
   //   u8 qp | u8 flags(class|disable<<3|avail<<5) |
-  //   u8 modes(i16_mode|chroma<<2) | u8 ref_base | i16 mv_base[2] |
-  //   u32 nnz_mask(bits 0..23 blocks, 24..26 DC)
+  //   u8 modes(i16_mode|chroma<<2) | u8 ref_base |
+  //   u32 mv_base(x13 | y13<<13) | nnz_dc bits <<26
+  // The per-AC-block nnz mask of the former 12-byte record is DERIVED on
+  // device from the sparse residual ids (a block has totalCoeff > 0 iff
+  // it shipped residual levels; I_PCM MBs — totalCoeff forced to 16 with
+  // no residual stream — are OR-ed back in from mb_class).
   // slice-table indices go to the side vector slice_ids, transferred
   // only for multi-slice pictures. Plus: per-slice table (offsets),
   // sparse MV/ref exceptions for the ~6% of MBs with per-block motion,
   // sparse intra mode payloads.
   const u32 n = n_mbs;
-  packed.assign(size_t(n) * 12, 0);
+  packed.assign(size_t(n) * 8, 0);
   slice_ids.assign(n, 0);
   slice_table.clear();
   mv_exc_id.clear();
@@ -311,7 +315,7 @@ void FrameTensors::build_packed() {
   };
 
   for (u32 i = 0; i < n; ++i) {
-    u8* p = packed.data() + size_t(i) * 12;
+    u8* p = packed.data() + size_t(i) * 8;
     slice_ids[i] = slice_index(i);
     p[0] = qp_y[i];
     // avail bits A|B|D remapped to 3 bits (D: bit 3 -> bit 2)
@@ -319,31 +323,41 @@ void FrameTensors::build_packed() {
     p[1] = u8(mb_class[i] | (disable_dblk[i] << 3) | (av3 << 5));
     p[2] = u8(i16_mode[i] | (chroma_mode[i] << 2));
     p[3] = u8(ref_slot[i * 16]);
-    std::memcpy(p + 4, &mv[i * 32], 4);  // block 0 mv
-    u32 mask = 0;
-    for (u32 b = 0; b < 24; ++b) mask |= u32(nnz[i * 24 + b] != 0) << b;
-    mask |= u32(nnz_dc[i * 3 + 0] != 0) << 24;
-    mask |= u32(nnz_dc[i * 3 + 1] != 0) << 25;
-    mask |= u32(nnz_dc[i * 3 + 2] != 0) << 26;
-    std::memcpy(p + 8, &mask, 4);
+    u32 w1 = (u32(u16(mv[i * 32 + 0])) & 0x1FFF) |
+             ((u32(u16(mv[i * 32 + 1])) & 0x1FFF) << 13) |
+             (u32(nnz_dc[i * 3 + 0] != 0) << 26) |
+             (u32(nnz_dc[i * 3 + 1] != 0) << 27) |
+             (u32(nnz_dc[i * 3 + 2] != 0) << 28);
+    std::memcpy(p + 4, &w1, 4);
 
-    // per-block motion exception when any block differs from block 0
+    // QUAD-grained motion exceptions: one 16-byte record per 8x8
+    // quadrant whose blocks differ from block 0 (id = mb*4 + q). Most
+    // partitioned MBs are 16x8/8x16/8x8 without sub-partitions, so this
+    // ships 2-3 quads (32-48 B) instead of the former whole-MB 68 B —
+    // the tunnel host->device link is the decode pipeline's scarcest
+    // resource. Quads equal to the base MV are NOT emitted (the device's
+    // uniform MC pass already covers them).
     const i16* m = &mv[i * 32];
     const i8* r = &ref_slot[i * 16];
-    bool uniform = true;
-    for (u32 b = 1; b < 16 && uniform; ++b) {
-      uniform = m[2 * b] == m[0] && m[2 * b + 1] == m[1] && r[b] == r[0];
-    }
-    if (!uniform) {
-      mv_exc_id.push_back(i);
-      u32 blocks[16];
-      for (u32 b = 0; b < 16; ++b) {
-        blocks[b] = (u32(m[2 * b]) & 0x1FFF) |
+    static const u8 kQuadBlocks[4][4] = {
+        {0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
+    for (u32 q = 0; q < 4; ++q) {
+      bool qdiff = false;
+      for (u32 j = 0; j < 4 && !qdiff; ++j) {
+        const u32 b = kQuadBlocks[q][j];
+        qdiff = m[2 * b] != m[0] || m[2 * b + 1] != m[1] || r[b] != r[0];
+      }
+      if (!qdiff) continue;
+      mv_exc_id.push_back(i * 4 + q);
+      u32 blocks[4];
+      for (u32 j = 0; j < 4; ++j) {
+        const u32 b = kQuadBlocks[q][j];
+        blocks[j] = (u32(m[2 * b]) & 0x1FFF) |
                     ((u32(m[2 * b + 1]) & 0x1FFF) << 13) |
                     ((u32(u8(r[b] + 1)) & 0x3F) << 26);
       }
       const u8* pb = reinterpret_cast<const u8*>(blocks);
-      mv_exc_payload.insert(mv_exc_payload.end(), pb, pb + 64);
+      mv_exc_payload.insert(mv_exc_payload.end(), pb, pb + 16);
     }
 
     if (mb_class[i] == kMbIntra4 || mb_class[i] == kMbIntra16) {
@@ -393,117 +407,124 @@ void FrameTensors::classify_sparse() {
   }
 }
 
-void FrameTensors::build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
-                              u32 wide_cap, u32 exc_cap, u32 intra_cap,
-                              u32 stab_cap, u32 sid_cap) {
-  // layout (every section tier-padded so device offsets are static):
-  //   [0]                packed records        n*12 B
-  //   [A]                slice table           stab_cap*4 (i8)
-  //   [A2]               slice-table indices   sid_cap*2 (u16; sid_cap is
-  //                      0 for single-slice pictures, n rounded up to
-  //                      even otherwise so later sections stay 4-aligned)
-  //   [B1]               single records        single_cap*4 (u32 =
-  //                      id<<12|pos<<8|value; pad id n*26)
-  //   [B2]               short ids             short_cap*4 (i32, pad n*26)
-  //   [B3]               short levels          short_cap*8 (i8[8])
-  //   [B4]               full ids              full_cap*4 (i32, pad n*26)
-  //   [B5]               full levels           full_cap*16 (i8[16];
-  //                      values outside i8 go out as 0 + a wide escape)
-  //   [C1]               wide ids              wide_cap*4 (i32 = entry*16+
-  //                      pos into B5, pad full_cap*16)
-  //   [C2]               wide values           wide_cap*4 (i32)
-  //   [D]                mv-exception ids      exc_cap*4 (i32, pad n)
-  //   [E]                mv-exception payload  exc_cap*64 (16 packed u32
-  //                      blocks: x|y<<13|(ref+1)<<26)
-  //   [F]                intra ids             intra_cap*4 (i32, pad n)
-  //   [G]                intra payload         intra_cap*16 (nibbles)
+void FrameTensors::build_blob_compact(u32 single_cap, u32 short_cap,
+                                      u32 full_cap, u32 wide_cap,
+                                      u32 exc_cap, u32 intra_cap,
+                                      u32 stab_cap, u32 sid_cap,
+                                      u32 total_bytes) {
+  // layout (see header comment in mbparse.h; every section 4-aligned):
+  //   [0]  16-u32 count header: n_single, n_short, n_full, n_wide,
+  //        n_exc, n_intra, n_stab_rows, sid_words, rest 0
+  //   [64] packed records n*8 B, then compact sections back-to-back in
+  //        DESCENDING cap-size order (exc payload, singles, short
+  //        levels, intra payload, full levels, short ids, exc ids,
+  //        intra ids, full ids, wide ids, wide values): the device
+  //        slices each section at its cap size from the real offset, so
+  //        a big-cap section's overrun window must overlap FOLLOWING
+  //        real data, not extend the buffer tail — this ordering
+  //        minimizes the total the caller must allocate
+  //        (ops.unpack.compact_blob_words). Padding entries are NOT
+  //        written; the device masks every id stream by its count.
   const u32 n = n_mbs;
-  const size_t sz = size_t(n) * 12 + size_t(stab_cap) * 4 +
-                    size_t(sid_cap) * 2 + size_t(single_cap) * 4 +
-                    size_t(short_cap) * 12 + size_t(full_cap) * 20 +
-                    size_t(wide_cap) * 8 + size_t(exc_cap) * 68 +
-                    size_t(intra_cap) * 20;
-  blob.assign(sz, 0);
-  u8* p = blob.data();
+  const u32 n_single = std::min(u32(cls_single.size()), single_cap);
+  const u32 n_short = std::min(u32(cls_short.size()), short_cap);
+  const u32 n_full = std::min(u32(cls_full.size()), full_cap);
+  const u32 n_exc = std::min(u32(mv_exc_id.size()), exc_cap);
+  const u32 n_intra = std::min(u32(intra_mbs.size()), intra_cap);
+  const u32 n_stab =
+      std::min(u32(slice_table.size() / 4), stab_cap);
+  const u32 sid_words = sid_cap / 2;
+
+  blob.assign(total_bytes, 0);
+  u32* hdr = reinterpret_cast<u32*>(blob.data());
+  hdr[0] = n_single;
+  hdr[1] = n_short;
+  hdr[2] = n_full;
+  hdr[4] = n_exc;
+  hdr[5] = n_intra;
+  hdr[6] = n_stab;
+  hdr[7] = sid_words;
+  u8* p = blob.data() + 64;
 
   std::memcpy(p, packed.data(), packed.size());
-  p += size_t(n) * 12;
-  std::memcpy(p, slice_table.data(),
-              std::min(slice_table.size(), size_t(stab_cap) * 4));
-  p += size_t(stab_cap) * 4;
+  p += size_t(n) * 8;
+  std::memcpy(p, slice_table.data(), size_t(n_stab) * 4);
+  p += size_t(n_stab) * 4;
   if (sid_cap) {
-    std::memcpy(p, slice_ids.data(),
-                std::min(size_t(n), size_t(sid_cap)) * 2);
+    std::memcpy(p, slice_ids.data(), std::min(size_t(n),
+                                              size_t(sid_cap)) * 2);
     p += size_t(sid_cap) * 2;
   }
 
-  u32* sgl = reinterpret_cast<u32*>(p);
-  const u32 n_single = std::min(u32(cls_single.size()), single_cap);
-  std::memcpy(sgl, cls_single.data(), size_t(n_single) * 4);
-  for (u32 i = n_single; i < single_cap; ++i) sgl[i] = u32(n * 26) << 12;
-  p += size_t(single_cap) * 4;
+  // exc payload (biggest cap window first; 16 B per quad record)
+  std::memcpy(p, mv_exc_payload.data(), size_t(n_exc) * 16);
+  p += size_t(n_exc) * 16;
 
-  i32* sids = reinterpret_cast<i32*>(p);
-  i8* sl8 = reinterpret_cast<i8*>(p + size_t(short_cap) * 4);
-  const u32 n_short = std::min(u32(cls_short.size()), short_cap);
-  for (u32 i = 0; i < short_cap; ++i) {
-    if (i < n_short) {
-      const u32 e = cls_short[i];
-      sids[i] = i32(sparse_id[e]);
-      for (u32 k = 0; k < 8; ++k) {
-        sl8[i * 8 + k] = i8(sparse_level[size_t(e) * 16 + k]);
-      }
-    } else {
-      sids[i] = i32(n * 26);
+  // singles
+  std::memcpy(p, cls_single.data(), size_t(n_single) * 4);
+  p += size_t(n_single) * 4;
+
+  // short levels
+  i8* sl8 = reinterpret_cast<i8*>(p);
+  for (u32 i = 0; i < n_short; ++i) {
+    const u32 e = cls_short[i];
+    for (u32 k = 0; k < 8; ++k) {
+      sl8[i * 8 + k] = i8(sparse_level[size_t(e) * 16 + k]);
     }
   }
-  p += size_t(short_cap) * 12;
+  p += size_t(n_short) * 8;
 
-  i32* ids = reinterpret_cast<i32*>(p);
-  i8* l8 = reinterpret_cast<i8*>(p + size_t(full_cap) * 4);
-  i32* wids = reinterpret_cast<i32*>(p + size_t(full_cap) * 20);
-  i32* wvals = wids + wide_cap;
-  for (u32 i = 0; i < wide_cap; ++i) {
-    wids[i] = i32(full_cap) * 16;  // device spare slot
-  }
-  const u32 n_full = std::min(u32(cls_full.size()), full_cap);
+  // intra payload
+  std::memcpy(p, intra_payload.data(), size_t(n_intra) * 16);
+  p += size_t(n_intra) * 16;
+
+  // full levels (+ collect wide escapes for the tail sections)
+  i8* l8 = reinterpret_cast<i8*>(p);
   u32 nw = 0;
-  for (u32 i = 0; i < full_cap; ++i) {
-    if (i >= n_full) {
-      ids[i] = i32(n * 26);
-      continue;
-    }
+  std::vector<u32> wid_buf;
+  std::vector<i32> wval_buf;
+  for (u32 i = 0; i < n_full; ++i) {
     const u32 e = cls_full[i];
-    ids[i] = i32(sparse_id[e]);
     for (u32 k = 0; k < 16; ++k) {
       const i16 v = sparse_level[size_t(e) * 16 + k];
       if (v >= -128 && v <= 127) {
         l8[i * 16 + k] = i8(v);
       } else if (nw < wide_cap) {
-        wids[nw] = i32(i * 16 + k);
-        wvals[nw] = i32(v);
+        wid_buf.push_back(i * 16 + k);
+        wval_buf.push_back(i32(v));
         ++nw;
       }
     }
   }
-  p += size_t(full_cap) * 20 + size_t(wide_cap) * 8;
+  hdr[3] = nw;
+  p += size_t(n_full) * 16;
 
+  // short ids
+  i32* sids = reinterpret_cast<i32*>(p);
+  for (u32 i = 0; i < n_short; ++i) sids[i] = i32(sparse_id[cls_short[i]]);
+  p += size_t(n_short) * 4;
+
+  // exc ids
   i32* eids = reinterpret_cast<i32*>(p);
-  const u32 n_exc = std::min(u32(mv_exc_id.size()), exc_cap);
-  for (u32 i = 0; i < exc_cap; ++i) {
-    eids[i] = i < n_exc ? i32(mv_exc_id[i]) : i32(n);
-  }
-  p += size_t(exc_cap) * 4;
-  std::memcpy(p, mv_exc_payload.data(), size_t(n_exc) * 64);
-  p += size_t(exc_cap) * 64;
+  for (u32 i = 0; i < n_exc; ++i) eids[i] = i32(mv_exc_id[i]);
+  p += size_t(n_exc) * 4;
 
+  // intra ids
   i32* iids = reinterpret_cast<i32*>(p);
-  const u32 n_intra = std::min(u32(intra_mbs.size()), intra_cap);
-  for (u32 i = 0; i < intra_cap; ++i) {
-    iids[i] = i < n_intra ? i32(intra_mbs[i]) : i32(n);
-  }
-  p += size_t(intra_cap) * 4;
-  std::memcpy(p, intra_payload.data(), size_t(n_intra) * 16);
+  for (u32 i = 0; i < n_intra; ++i) iids[i] = i32(intra_mbs[i]);
+  p += size_t(n_intra) * 4;
+
+  // full ids
+  i32* ids = reinterpret_cast<i32*>(p);
+  for (u32 i = 0; i < n_full; ++i) ids[i] = i32(sparse_id[cls_full[i]]);
+  p += size_t(n_full) * 4;
+
+  // wide ids + values
+  i32* wids = reinterpret_cast<i32*>(p);
+  for (u32 i = 0; i < nw; ++i) wids[i] = i32(wid_buf[i]);
+  p += size_t(nw) * 4;
+  i32* wvals = reinterpret_cast<i32*>(p);
+  for (u32 i = 0; i < nw; ++i) wvals[i] = wval_buf[i];
 }
 
 void MbParser::configure(u32 width_mbs, u32 height_mbs) {

@@ -94,8 +94,11 @@ struct FrameTensors {
   // id u32 + 16 packed u32 blocks (x 13 bits | y 13 bits << 13 |
   // (ref+1) 6 bits << 26; MV ranges are [-2048, 2047] / [-512, 511]
   // quarter-pel, inter_prediction.c:537-544)
+  // quad-grained motion exceptions: id = mb*4 + quadrant, payload 16 B
+  // per entry (4 packed u32 blocks, x13 | y13<<13 | (ref+1)<<26, in
+  // kQuadBlocks order)
   std::vector<u32> mv_exc_id;
-  std::vector<u8> mv_exc_payload;  // 64 bytes per entry
+  std::vector<u8> mv_exc_payload;
   // sparse intra payloads aligned with intra_mbs: 16 nibble-packed bytes
   // per MB, byte j = i4_modes[j] | (i4_avail[j] << 4)
   std::vector<u8> intra_payload;
@@ -109,12 +112,18 @@ struct FrameTensors {
   std::vector<u32> cls_short, cls_full;  // indices into sparse_id
   u32 cls_wide = 0;                      // escapes among full blocks
   void classify_sparse();
-  // single tier-padded transfer blob (see build_blob): one host->device
-  // copy per frame instead of eight
+  // single transfer blob: one host->device copy per frame instead of
+  // eight. Sections written back-to-back at their REAL counts behind a
+  // 64-byte count header, whole buffer zero-padded to total_bytes (a
+  // coarse host-side tier). The device derives section offsets from the
+  // header and masks entries beyond the real counts — transfer volume
+  // tracks content instead of the caps (the tunnel link moves
+  // ~15-35 MB/s, so cap padding directly costs fps). The caps still
+  // clamp counts (device slice sizes stay cap-static).
   std::vector<u8> blob;
-  void build_blob(u32 single_cap, u32 short_cap, u32 full_cap,
-                  u32 wide_cap, u32 exc_cap, u32 intra_cap, u32 stab_cap,
-                  u32 sid_cap);
+  void build_blob_compact(u32 single_cap, u32 short_cap, u32 full_cap,
+                          u32 wide_cap, u32 exc_cap, u32 intra_cap,
+                          u32 stab_cap, u32 sid_cap, u32 total_bytes);
   // intra MB list (classes 3/4) in raster order, for the device fast path
   std::vector<u32> intra_mbs;
 

@@ -72,7 +72,8 @@ def caps_from_counts(mx, n_mbs, wavefront):
     sht = tier(mx[1], ladder(1024, 8) + (max(n_mbs * 26, 1024),))
     cap = tier(mx[2], ladder(512, 8) + (max(n_mbs * 26, 512),))
     wcap = tier(mx[3], (64, 1024, 16384, max(cap * 16, 64)))
-    ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs, 256),))
+    # exceptions are quad-grained (up to 4 per MB)
+    ecap = tier(mx[4], ladder(256, 8) + (max(n_mbs * 4, 256),))
     scap = tier(mx[6], (32, max(n_mbs, 32)))
     icap = tier(mx[5], (512, 1024, 1536, 2048, 3072, n_mbs)
                 if not wavefront else (n_mbs,))
@@ -153,7 +154,7 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     dpb_y = dpb_y.at[slot].set(y)
     dpb_cb = dpb_cb.at[slot].set(cb)
     dpb_cr = dpb_cr.at[slot].set(cr)
-    return dpb_y, dpb_cb, dpb_cr
+    return (dpb_y, dpb_cb, dpb_cr), (y, cb, cr)
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
@@ -163,11 +164,11 @@ def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                  conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
                  caps, intra_wavefront=False, used_slots=None,
                  mc_pallas=False, deblock_pallas=False):
-    return _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb,
-                              pcm_cr, slot, conceal_from_ref,
-                              conceal_ref_slot, width_mbs, height_mbs, caps,
-                              intra_wavefront, used_slots, mc_pallas,
-                              deblock_pallas)
+    ring, _ = _frame_decode_body(
+        blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
+        conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs, caps,
+        intra_wavefront, used_slots, mc_pallas, deblock_pallas)
+    return ring
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
@@ -183,7 +184,16 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     per-dispatch tunnel round trip (the steady-state limiter of the
     per-frame path) across the window; frame k reads references written
     by frame k-1 directly from the carried ring, with zero host
-    involvement between frames."""
+    involvement between frames.
+
+    Besides the final ring, the scan stacks every frame's decoded planes
+    as (K, H, W) outputs. Output pictures pending inside the window read
+    their planes from this stack (or, for pictures decoded before the
+    window, from the pre-window ring snapshot) instead of the post-window
+    ring — so a frame may freely reuse a DPB slot an earlier output still
+    references, and windows are no longer cut at the DPB ring period
+    (dpb_slots is 4 for the bundled streams: the cut capped every window
+    at 4 frames regardless of the WINDOW setting)."""
 
     if used_slots is None:
         used_slots = jnp.zeros((blobs.shape[0], 2), jnp.int32)
@@ -191,16 +201,16 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     def body(carry, per_frame):
         dy, dcb, dcr = carry
         blob, slot, cfr, crs, used = per_frame
-        dy, dcb, dcr = _frame_decode_body(
+        (dy, dcb, dcr), planes = _frame_decode_body(
             blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
             width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas,
             deblock_pallas)
-        return (dy, dcb, dcr), None
+        return (dy, dcb, dcr), planes
 
-    (dpb_y, dpb_cb, dpb_cr), _ = jax.lax.scan(
+    (dpb_y, dpb_cb, dpb_cr), stack = jax.lax.scan(
         body, (dpb_y, dpb_cb, dpb_cr),
         (blobs, slots, conceal_from_ref, conceal_ref_slot, used_slots))
-    return dpb_y, dpb_cb, dpb_cr
+    return (dpb_y, dpb_cb, dpb_cr), stack
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
@@ -234,10 +244,11 @@ def _deblock_store_step(y, cb, cr, blob, dpb_y, dpb_cb, dpb_cr, slot,
     """Error path, stage 2: deblock the concealed picture and store it."""
     from ..ops.unpack import unpack_blob, unpack_meta
     n_mbs = width_mbs * height_mbs
-    (packed, slice_table, _, _, mv_exc_ids, mv_exc_payload, intra_mbs,
-     intra_payload, slice_ids) = unpack_blob(blob, n_mbs, *caps)
+    (packed, slice_table, sparse_ids, _, mv_exc_ids, mv_exc_payload,
+     intra_mbs, intra_payload, slice_ids) = unpack_blob(blob, n_mbs, *caps)
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                    intra_mbs, intra_payload, n_mbs, slice_ids)
+                    intra_mbs, intra_payload, n_mbs, slice_ids,
+                    sparse_ids=sparse_ids)
     dblk = deblock_frame_wavefront if deblock_pallas else deblock_frame
     y, cb, cr = dblk(
         y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
@@ -397,29 +408,32 @@ class Decoder:
 
         counts = (n_single, n_short, n_full, n_wide, n_exc, n_intra,
                   n_slices)
+        from ..ops.unpack import compact_blob_words
+
+        def fits(p):
+            return (all(counts[k] <= p[k] for k in range(7))
+                    and (n_slices <= 1 or p[7] > 0))
+
         pin = None
         if self._caps_pin is not None and wavefront in self._caps_pin:
-            tiers = self._caps_pin[wavefront]
-            if isinstance(tiers, tuple):
-                tiers = [tiers]
-            # first pinned tier the frame fits (the C++ blob builder
-            # clamps overflow silently, so fit is checked exactly); the
+            # first pinned (caps, total_words) tier the frame fits (fit
+            # covers both the caps and the compact-blob total); the
             # TYPICAL tier comes first — sparse-scatter cost on device
             # scales with the cap, not the actual count, so common P
             # frames must not pay the worst frame's caps. A frame beyond
             # every pinned tier falls back to the sticky path.
-            for p in tiers:
-                if (all(counts[k] <= p[k] for k in range(7))
-                        and (n_slices <= 1 or p[7] > 0)):
-                    pin = p
+            for caps_p, tot_p in self._caps_pin[wavefront]:
+                if fits(caps_p) and compact_blob_words(
+                        counts, n_mbs, caps_p)[1] <= tot_p:
+                    pin = (caps_p, tot_p)
                     break
         if pin is not None:
             # PINNED caps (pin_caps_for_stream dry parse): exactly one
-            # caps tuple per wavefront class for the whole stream, so the
+            # (caps, total) pair per tier for the whole stream, so the
             # compile surface is bounded up front — the sticky history
             # below can still step tiers as it warms, and every step is a
             # fresh multi-second XLA compile on the tunneled TPU.
-            caps = pin
+            caps, total_w = pin
         else:
             # STICKY caps: tier over the max counts of the last 8 frames
             # of this wavefront class, not this frame alone. Per-frame
@@ -428,13 +442,16 @@ class Decoder:
             # tunnel round trip per window instead of per frame — the
             # round trip, ~9 ms on the tunneled link, dominates the frame
             # budget). The 8-frame max decays I-frame spikes after one
-            # window.
+            # window. The compact-blob total words tier from the same
+            # history so consecutive frames share one blob shape.
             hist = self._cap_hist.setdefault(wavefront, [])
             hist.append(counts)
             del hist[:-8]
             mx = [max(h[k] for h in hist) for k in range(7)]
             caps = caps_from_counts(mx, n_mbs, wavefront)
-        blob = self._fe.blob(*caps)
+            _, need_w = compact_blob_words(mx, n_mbs, caps)
+            total_w = tier(need_w, ladder(8192, 12) + (need_w,))
+        blob = self._fe.blob_compact(*caps, total_w * 4)
 
         ipcm = self._fe.ipcm()
 
@@ -510,8 +527,10 @@ class Decoder:
             cbn = np.asarray(rcb).copy()
             crn = np.asarray(rcr).copy()
             # derive from the frame's own blob (the parser may already be
-            # ahead on the pipelined producer thread)
-            mb_class = prep["blob"][:n_mbs * 12].reshape(n_mbs, 12)[:, 1] & 7
+            # ahead on the pipelined producer thread); packed records
+            # (8 B/MB) start after the 64-byte compact-blob count header
+            mb_class = prep["blob"][64:64 + n_mbs * 8] \
+                .reshape(n_mbs, 8)[:, 1] & 7
             decoded = mb_class != 6
             conceal_picture(yn, cbn, crn, decoded, prep["w_mbs"],
                             prep["h_mbs"], bool(info["conceal_from_ref"]),
@@ -543,20 +562,35 @@ class Decoder:
                 and not len(prep["ipcm"][0]))
 
     def _submit_window(self, preps):
-        """Dispatch a window of compatible frames as one scanned step.
-        Caller guarantees every prep is _windowable, shares (caps,
-        wavefront, n_mbs), and that no frame overwrites a DPB slot a
-        pending output in the window still references.
+        """Dispatch a window of compatible frames as scanned steps.
+        Caller guarantees every prep is _windowable and shares (caps,
+        wavefront, n_mbs).
 
-        Dispatch sizes are quantized to powers of two (8/4/2/1 chunks)
-        so each (caps, wavefront) tier compiles at most three scan
-        variants instead of one per window length."""
-        while len(preps) > 1:
-            k = next(k for k in (8, 4, 2) if k <= len(preps))
-            self._submit_window_exact(preps[:k])
-            preps = preps[k:]
-        if preps:
-            self._submit(preps[0])
+        Dispatch sizes are quantized to powers of two (64/32/16/8/4/2/1
+        chunks) so each (caps, wavefront) tier compiles at most six
+        scan variants instead of one per window length. Long scans are
+        worth real fps on the tunneled link: each dispatch pays ~17 ms
+        of serialization the device cannot hide, so a 64-frame chunk
+        amortizes it to ~0.3 ms/frame.
+
+        Returns `views`, one (planes_tuple, index) per frame: where that
+        frame's decoded planes can be read (the chunk's stacked scan
+        outputs) independently of later ring writes — the consumer
+        resolves pending output pictures against these, so a frame may
+        reuse a DPB slot an earlier output of the same window still
+        references (windows are NOT cut at the DPB ring period)."""
+        views = []
+        i = 0
+        while len(preps) - i > 1:
+            k = next(k for k in (64, 32, 16, 8, 4, 2)
+                     if k <= len(preps) - i)
+            stack = self._submit_window_exact(preps[i:i + k])
+            views += [(stack, j) for j in range(k)]
+            i += k
+        if len(preps) - i:
+            self._submit(preps[i])
+            views.append((self._dpb, preps[i]["info"]["slot"]))
+        return views
 
     def _submit_window_exact(self, preps):
         self._ensure_dpb()
@@ -572,12 +606,13 @@ class Decoder:
                        np.int32)
         used = np.stack([p["used_slots"] for p in preps])
         y, cb, cr = self._dpb
-        self._dpb = _decode_window_step(
+        self._dpb, stack = _decode_window_step(
             jnp.asarray(blobs), y, cb, cr, *self._zero_pcm,
             jnp.asarray(slots), jnp.asarray(cfr), jnp.asarray(crs),
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
             preps[0]["wavefront"], jnp.asarray(used),
             preps[0]["mc_pallas"], preps[0]["deblock_pallas"])
+        return stack
 
     # -- output ------------------------------------------------------------
 
@@ -589,7 +624,10 @@ class Decoder:
             return None
         return self._make_output(out)
 
-    def _make_output(self, out):
+    def _make_output(self, out, planes=None, index=None):
+        """planes/index override where the picture's planes are read
+        (the stacked scan outputs of a window chunk); default is the
+        current ring snapshot at the picture's DPB slot."""
         g = self._geom
         crop = (g["crop_left"], g["crop_width"], g["crop_top"],
                 g["crop_height"]) if g["crop_flag"] else \
@@ -598,7 +636,8 @@ class Decoder:
             pic_id=out["pic_id"], is_idr=bool(out["is_idr"]),
             num_err_mbs=out["num_err_mbs"],
             width=g["width_mbs"] * 16, height=g["height_mbs"] * 16,
-            crop=crop, _dpb=self._dpb, _slot=out["slot"])
+            crop=crop, _dpb=self._dpb if planes is None else planes,
+            _slot=out["slot"] if index is None else index)
 
     # -- metadata (reference decoder.c:771-1105) ---------------------------
 
@@ -681,18 +720,22 @@ class Decoder:
 
 def pin_caps_for_stream(data: bytes, typical_pct: float = 90.0) -> dict:
     """Dry-parse a stream (C++ front-end only, no device work) and return
-    a {wavefront_class: [typical_caps, max_caps]} pin — pass as
-    Decoder(caps_pin=...) so the whole decode uses at most two caps
-    tuples per class and the XLA compile surface is bounded before the
-    first dispatch (each novel tier combo costs a multi-second compile on
-    the tunneled TPU; the sticky-caps history discovers tiers
-    incrementally and can step through several).
+    a {wavefront_class: [(typical_caps, total_words),
+    (max_caps, total_words)]} pin — pass as Decoder(caps_pin=...) so the
+    whole decode uses at most two (caps, blob-shape) pairs per class and
+    the XLA compile surface is bounded before the first dispatch (each
+    novel tier combo costs a multi-second compile on the tunneled TPU;
+    the sticky-caps history discovers tiers incrementally and can step
+    through several).
 
     TWO tiers per class because cap size is not just padding: the
     device-side sparse-residual scatter costs ~73 ns per CAP row on a
     v5e, so typical frames must not pay the worst frame's caps. The
     typical tier covers `typical_pct` percent of the class's frames
-    (per-component percentile); the rest use the max tier."""
+    (per-component percentile); the rest use the max tier. Each tier's
+    compact-blob total is the max need of the frames assigned to it
+    (first tier they fit), so the transfer ships content, not caps."""
+    from ..ops.unpack import compact_blob_words
     d = fe.FrontendDecoder(no_output_reordering=True)
     per: dict = {}
     n_mbs = 0
@@ -720,7 +763,26 @@ def pin_caps_for_stream(data: bytes, typical_pct: float = 90.0) -> dict:
                             method="higher").astype(int).tolist()
         c_max = caps_from_counts(mx, n_mbs, wf)
         c_typ = caps_from_counts(typ, n_mbs, wf)
-        pins[wf] = [c_typ, c_max] if c_typ != c_max else [c_max]
+        tiers = [c_typ, c_max] if c_typ != c_max else [c_max]
+
+        def fits(counts, p):
+            return (all(counts[k] <= p[k] for k in range(7))
+                    and (counts[6] <= 1 or p[7] > 0))
+
+        assigned = [[] for _ in tiers]
+        for counts in rows:
+            for k, caps in enumerate(tiers):
+                if fits(counts, caps):
+                    assigned[k].append(counts)
+                    break
+        entries = []
+        for k, caps in enumerate(tiers):
+            needs = [compact_blob_words(c, n_mbs, caps)[1]
+                     for c in assigned[k]] or \
+                [compact_blob_words([0] * 7, n_mbs, caps)[1]]
+            tot = -(-max(needs) // 256) * 256
+            entries.append((caps, tot))
+        pins[wf] = entries
     return pins
 
 
@@ -787,14 +849,15 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     # (one device dispatch for up to WINDOW frames). Grouping is greedy
     # over whatever the parse thread has already queued, so it never adds
     # latency when the device is the slower side. Output pictures are
-    # yielded only after their window is dispatched; a window is cut
-    # early if a frame would overwrite a DPB slot that a pending output
-    # of this window still references (the post-window ring snapshot
-    # must stay valid for every yielded picture).
+    # yielded only after their window is dispatched, with planes resolved
+    # against the window's stacked per-frame scan outputs — so a frame
+    # may reuse a DPB slot a pending output still references and windows
+    # are never cut at the DPB ring period (dpb_slots is 4 for the
+    # bundled streams; the old post-window-snapshot scheme capped every
+    # window at 4 frames regardless of WINDOW).
     import os
-    WINDOW = int(os.environ.get("H264TPU_WINDOW", "8"))
+    WINDOW = int(os.environ.get("H264TPU_WINDOW", "16"))
     window: list = []          # [(prep, outs)]
-    out_slots: set = set()     # slots referenced by pending outputs
 
     def compatible(prep):
         if not window:
@@ -805,22 +868,41 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
                 and prep["mc_pallas"] == head["mc_pallas"]
                 and prep["deblock_pallas"] == head["deblock_pallas"]
                 and prep["n_mbs"] == head["n_mbs"]
-                and prep["used_slots"].shape == head["used_slots"].shape
-                and prep["info"]["slot"] not in out_slots)
+                and prep["blob"].nbytes == head["blob"].nbytes
+                and prep["used_slots"].shape == head["used_slots"].shape)
 
     def flush():
-        """Dispatch the pending window and materialize its output pictures
-        IMMEDIATELY (the snapshot must be taken before anything else
-        writes the ring: a following non-windowable frame may reuse a
-        slot a flushed output still references)."""
+        """Dispatch the pending window and materialize its output
+        pictures, each resolved to the newest write of its DPB slot AT
+        ITS DRAIN POSITION in the window (slot -> chunk-stack view map,
+        updated frame by frame; pictures decoded before the window read
+        the pre-window ring snapshot, which later writes never mutate)."""
         if not window:
             return []
-        dec._submit_window([w[0] for w in window])
-        outs = [o for _, os_ in window for o in os_]
+        old = dec._dpb
+        views = dec._submit_window([w[0] for w in window])
+        slot_view: dict = {}
+        ready = []
+        for (prep, outs), view in zip(window, views):
+            slot_view[prep["info"]["slot"]] = view
+            for o in outs:
+                planes, idx = slot_view.get(o["slot"], (old, o["slot"]))
+                if planes is None:      # first window after a reset
+                    planes, idx = dec._dpb, o["slot"]
+                ready.append(dec._make_output(o, planes, idx))
         window.clear()
-        out_slots.clear()
-        return [dec._make_output(o) for o in outs]
+        return ready
 
+    # Pipeline-ramp flushing: the host parse (~3.4 ms/frame at 1080p)
+    # paces this loop, so "flush whenever the queue is empty" degrades
+    # every window to 1-2 frames and the decode runs as single-frame
+    # dispatches. Instead the flush threshold doubles after each flush
+    # (1, 2, 4, ... WINDOW): the first frames dispatch immediately (no
+    # startup latency), and once the device is busy with earlier work
+    # the windows grow to full scan length behind it — long scans are
+    # measurably cheaper per frame than chained single dispatches on
+    # the tunneled runtime.
+    next_min = 1
     done = False
     while not done:
         item = q.get()
@@ -840,7 +922,6 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
                 else:
                     ready = flush() if not compatible(prep) else []
                     window.append((prep, outs))
-                    out_slots.update(o["slot"] for o in outs)
                     if len(window) >= WINDOW:
                         ready += flush()
             for pic in ready:
@@ -853,13 +934,17 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
             try:
                 item = q.get_nowait()
             except queue.Empty:
-                # nothing parsed ahead: dispatch what we have rather
-                # than idle the device waiting for a fuller window
-                for pic in flush():
-                    yield pic
-                    n_out += 1
-                    if max_pictures is not None and n_out >= max_pictures:
-                        return
+                # nothing parsed ahead: dispatch what we have once the
+                # ramp threshold is reached (don't idle a starved
+                # device, don't fragment windows behind a busy one)
+                if len(window) >= next_min:
+                    next_min = min(2 * next_min, WINDOW)
+                    for pic in flush():
+                        yield pic
+                        n_out += 1
+                        if max_pictures is not None and \
+                                n_out >= max_pictures:
+                            return
                 break
 
 

@@ -327,6 +327,17 @@ def deblock_frame_pallas(y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id,
     c_alpha, c_beta, c_tc0 = edge_thresholds(
         qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
         width_mbs, height_mbs, chroma=True)
+    return deblock_frame_pallas_from_bs(
+        y, cb, cr, bs_left, bs_top, l_alpha, l_beta, l_tc0, c_alpha,
+        c_beta, c_tc0, width_mbs, height_mbs, interpret=interpret)
+
+
+def deblock_frame_pallas_from_bs(y, cb, cr, bs_left, bs_top, l_alpha,
+                                 l_beta, l_tc0, c_alpha, c_beta, c_tc0,
+                                 width_mbs, height_mbs, interpret=False):
+    """Raster kernel on externally computed boundary strengths and
+    thresholds (the row-sharded stripe steps adjust bS at stripe
+    boundaries before filtering — parallel.rowshard)."""
     meta = build_meta(bs_left, bs_top, l_alpha, l_beta, l_tc0,
                       c_alpha, c_beta, c_tc0)
 

@@ -2,7 +2,10 @@
 
 The raster kernel (ops.pallas_deblock) walks the MBs one at a time; its
 cost is scalar-core op ISSUE, not data (measured: shrinking roll traffic
-4x moved it ~2%). This kernel batches G=4 macroblocks per vector op.
+4x moved it ~2%). This kernel batches G macroblocks per vector op
+(G=8 default: the kernel is bound by per-group load/roll/store overhead,
+so wider groups amortize it — G=8 halves the group count vs the original
+G=4 at equal total vector work).
 
 Validity: the reference filters MBs in raster order, vertical edges then
 horizontal per MB (h264bsdFilterPicture deblocking.c:575-640). MB (r,c)
@@ -16,23 +19,20 @@ reproduces the reference bit-exactly. (Cross-check: (r-1,c+2) — the
 same-wavefront neighbour — writes columns >= 16c+29 and rows <= 16r-1,
 disjoint from everything (r,c) reads.)
 
-Batching layout: 4 same-wavefront MBs occupy 32-lane slots of a
-(32, 128) register tile (chroma: 16-lane slots, cb in lanes 0..63 and
-cr in 64..127 filtered in one pass). All shift/filter/select math runs
-once per group. Gathers/stores stay per-MB (dynamic offsets): aligned
-u8 supersets with packed-view lane rolls; stores are sequential
-reload-insert-store RMWs (a member's store must not clobber the
-untouched superset lanes of a sibling that already stored).
+Batching layout: G same-wavefront MBs occupy 32-lane slots of a
+(32, 32*G) register tile (chroma: 16-lane slots, cb in the lower and cr
+in the upper 16 lanes of a 32-lane slot, filtered in one pass). All
+shift/filter/select math runs once per group.
 
 Per-edge filter parameters (bS per 4-pel group, tc0, alpha, beta) are
 packed (alpha<<14 | tc0<<9 | beta<<3 | bs) into two tensors streamed per
-group: a V map (nGroups, 24, 128) of slot-broadcast values the kernel
-repeats over pel rows, and an H map (nGroups, 6, 128) of final lane
+group: a V map (nGroups, 24, 32*G) of slot-broadcast values the kernel
+repeats over pel rows, and an H map (nGroups, 6, 32*G) of final lane
 patterns. The wavefront arrangement costs NO
 gathers: MB ids along anti-diagonal w are w + r*(wm-2), an arithmetic
 sequence, so wavefront-major order is hm static strided slices of the
 raster array (exactly covering it: (hm-1)(wm-2) + 2(hm-1)+wm = hm*wm).
-Groups are fixed 4-row slots of the (nW, hm) view; slots outside the
+Groups are fixed G-row slots of the (nW, hm) view; slots outside the
 diagonal's valid r-interval are masked per-slot and skipped at store.
 
 Parity vs ops.deblock.deblock_frame is pinned by
@@ -42,14 +42,13 @@ verification pass.
 V map rows: [0:16] luma, row 4e+g = vertical edge e, 4-pel group g
 (repeated over 4 pel rows in-kernel); [16:24] chroma, row 16+4e'+g
 (repeated over 2 pel rows). H map rows: [0:4] luma edge v, [4:6] chroma
-edge v' — final 128-lane patterns. Chroma tiles use 32-lane slots with
-cb in the lower and cr in the upper 16 lanes, so both planes filter in
-one pass and share the luma maps' slot-broadcast layout.
+edge v' — final 32G-lane patterns.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from functools import partial
 
 import jax
@@ -62,22 +61,23 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_deblock import _chroma_filter, _lsh, _luma_filter, _rsh
 from .pallas_util import lane_roll_narrow
 
-import os as _os_gc
-
-G = 4          # MBs per wavefront group (one 128-lane tile)
+G = int(_os.environ.get("H264TPU_DEBLOCK_G", "8"))
+LN = 32 * G    # luma tile lanes (and chroma: 32-lane cb|cr slots)
 # groups per grid step (tunable: fewer grid steps amortize the per-step
 # scalar prologue; more steps pipeline input-map streaming better)
-GC = int(_os_gc.environ.get("H264TPU_DEBLOCK_GC", "8"))
+GC = int(_os.environ.get("H264TPU_DEBLOCK_GC", "8"))
 PT = 8         # top padding rows (scratch)
 PL = 128       # left padding lanes (scratch)
+# smeta columns: [0:G] r, [G:2G] c, [2G:3G] effective,
+# [3G] group-any, [3G+1] r0, [3G+2] c0, [3G+3] edge-activity mask
+SM = 3 * G
 
 # Edge-activity skip (lax.cond around inner-edge filter math + the
-# chroma section, driven by a per-group 12-bit mask in smeta col 15).
+# chroma section, driven by a per-group 12-bit mask in smeta col 3G+3).
 # MEASURED SLOWER on v5e for the bundled 1080p stream (70.8 vs 77.7 fps
 # e2e): the scalar branches break Mosaic's software pipeline across
 # groups, costing more than the skipped VPU math saves. Kept behind an
 # env flag for future hardware/compiler revisions; default off.
-import os as _os
 EDGE_SKIP = _os.environ.get("H264TPU_DEBLOCK_SKIP", "0") == "1"
 
 
@@ -90,9 +90,9 @@ def _wavefront_layout(width_mbs, height_mbs):
     """Static geometry of the fixed-slot wavefront grouping.
 
     Returns (hm_pad, n_wf, smeta_static) where smeta_static is
-    (nGroups, 16) int32: per slot m of each group, columns [m]=r,
+    (nGroups, SM+4) int32: per slot m of each group, columns [m]=r,
     [G+m]=c, [2G+m]=geometrically valid; remaining columns 0.
-    Group (w, k) holds slots r = 4k+j along anti-diagonal w.
+    Group (w, k) holds slots r = G*k+j along anti-diagonal w.
     """
     hm_pad = -(-height_mbs // G) * G
     n_wf = 2 * (height_mbs - 1) + width_mbs
@@ -103,26 +103,26 @@ def _wavefront_layout(width_mbs, height_mbs):
     rr = np.where(valid, r, 0).astype(np.int32)
     cc = np.where(valid, c, 0).astype(np.int32)
     n_groups = n_wf * (hm_pad // G)
-    sm = np.zeros((n_groups, 16), np.int32)
+    sm = np.zeros((n_groups, SM + 4), np.int32)
     sm[:, 0:G] = rr.reshape(n_groups, G)
     sm[:, G:2 * G] = cc.reshape(n_groups, G)
     sm[:, 2 * G:3 * G] = valid.reshape(n_groups, G)
-    # geometric slot-0 coordinates (cols 13/14), NOT zeroed for invalid
-    # slots: the sheared kernel addresses the whole group from them.
-    # Any group with >= 1 valid slot has -6 <= c0 <= wm+5.
+    # geometric slot-0 coordinates (cols SM+1/SM+2), NOT zeroed for
+    # invalid slots: the sheared kernel addresses the whole group from
+    # them. Any group with >= 1 valid slot has 0 <= c0 <= wm+2G-3.
     r_g = np.broadcast_to(np.arange(hm_pad)[None, ::G], (n_wf, hm_pad // G))
-    sm[:, 13] = r_g.reshape(-1)
-    sm[:, 14] = (w - 2 * r_g).reshape(-1)
+    sm[:, SM + 1] = r_g.reshape(-1)
+    sm[:, SM + 2] = (w - 2 * r_g).reshape(-1)
     return hm_pad, n_wf, sm
 
 
 def _mask_mod(rows, lane, period):
-    i = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    i = lax.broadcasted_iota(jnp.int32, (rows, LN), 1)
     return (i % period) == lane
 
 
 def _range_mod(rows, lo, hi, period):
-    i = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    i = lax.broadcasted_iota(jnp.int32, (rows, LN), 1)
     m = i % period
     return (m >= lo) & (m < hi)
 
@@ -132,14 +132,14 @@ def _unpack(m):
 
 
 def _expand_rows(cm, base, n_edges, rep, rows):
-    """Per-edge (rows,128) maps from slot-broadcast packed rows
+    """Per-edge (rows, LN) maps from slot-broadcast packed rows
     cm[base+n? ...]: edge e uses cm rows base+rep_groups, each repeated
     over `rep` pel rows."""
     out = []
     for e in range(n_edges):
         n_g = rows // rep
         parts = [jnp.broadcast_to(cm[base + n_g * e + g:
-                                     base + n_g * e + g + 1], (rep, 128))
+                                     base + n_g * e + g + 1], (rep, LN))
                  for g in range(n_g)]
         out.append(jnp.concatenate(parts, axis=0))
     return out
@@ -172,7 +172,7 @@ def _luma_h_edge(regs, v, hm):
 
 
 def _filter_luma_group(regs, vm, hm, em):
-    """All 8 luma edges of a 4-slot (32, 128) group tile.
+    """All 8 luma edges of a G-slot (32, LN) group tile.
 
     em is the group's 12-bit edge-activity mask (bit e: any slot has a
     nonzero bS on that edge; a bS-0 edge is the identity). The INNER
@@ -211,7 +211,7 @@ def _filter_luma_group(regs, vm, hm, em):
 
 
 def _filter_chroma_group(cregs, vm, hm, em):
-    """All 4 chroma edges of a 4-slot (16, 128) cb|cr group tile (the
+    """All 4 chroma edges of a G-slot (16, LN) cb|cr group tile (the
     caller already gates the whole chroma section on mask bits 8..11)."""
     cvmaps = _expand_rows(vm, 16, 2, 2, 8)
     for e in range(2):                     # vertical edges
@@ -256,16 +256,16 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
         scr[pl.ds(PT, Hc), pl.ds(PL, Wc)] = cr_in[:]
 
     def group_body(k, _):
-        @pl.when(smeta_ref[k, 12] != 0)
+        @pl.when(smeta_ref[k, SM] != 0)
         def _():
             rs = [smeta_ref[k, m] for m in range(G)]
             cs = [smeta_ref[k, G + m] for m in range(G)]
             effs = [smeta_ref[k, 2 * G + m] for m in range(G)]
-            em = smeta_ref[k, 15]              # 12-bit edge-activity mask
-            vm = vm_ref[k]                     # (24, 128) V packed params
-            hm = hm_ref[k]                     # (6, 128) H packed params
+            em = smeta_ref[k, SM + 3]          # 12-bit edge-activity mask
+            vm = vm_ref[k]                     # (24, LN) V packed params
+            hm = hm_ref[k]                     # (6, LN) H packed params
 
-            # ---- luma: gather 4 slots -> (32, 128) ----
+            # ---- luma: gather G slots -> (32, LN) ----
             lys = [pl.multiple_of(r * 16, 8) for r in rs]
             lxs = [c * 16 + PL - 4 for c in cs]
             lxas = [pl.multiple_of((lx // 128) * 128, 128) for lx in lxs]
@@ -341,7 +341,7 @@ def _wf_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
         cr_out[:] = scr[pl.ds(PT, Hc), pl.ds(PL, Wc)]
 
 
-PLS = 192      # sheared-scratch left pad (>= 132 for c0 >= -6 groups)
+PLS = 192      # sheared-scratch left pad (>= 36 for the -36 base offset)
 
 
 def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
@@ -349,17 +349,19 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                      H, W, hm, n_wf):
     """Sheared-layout variant: the scratch stores each 16-pel row band b
     shifted right by 32b (chroma: 8-row bands by 16b), which makes a
-    wavefront group's four slots share one column: slot m = MB
-    (r0+m, c0-2m) has 16(c0-2m) + 32(r0+m) = 16c0 + 32r0 for every m.
-    The whole group's supersets then live in ONE (80, 96)-ish window
-    (slot pieces at fixed lane offsets: rows-above at 0..32, own band at
+    wavefront group's slots share one column: slot m = MB (r0+m, c0-2m)
+    has 16(c0-2m) + 32(r0+m) = 16c0 + 32r0 for every m. The whole
+    group's supersets then live in ONE (16G+16, 96)-ish window (slot
+    pieces at fixed lane offsets: rows-above at 0..32, own band at
     32..64, rows-below at 64..96), so a group costs one load and one
-    read-modify-write store instead of 12 + 12. Out-of-frame slots land
+    read-modify-write store instead of 3G + 3G. Out-of-frame slots land
     in dead cells (each scratch row only holds its own band's columns),
     so invalid/padded slots need no masking."""
     Hc, Wc = H // 2, W // 2
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
+    RL = 16 * G + 16   # luma load rows (8 above + 16G + 8 below)
+    RC = 8 * G + 8     # chroma load rows
 
     @pl.when(step == 0)
     def _():
@@ -372,13 +374,13 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                 cr_in[pl.ds(8 * b, 8), :]
 
     def group_body(k, _):
-        @pl.when(smeta_ref[k, 12] != 0)
+        @pl.when(smeta_ref[k, SM] != 0)
         def _():
-            r0 = smeta_ref[k, 13]
-            c0 = smeta_ref[k, 14]
-            em = smeta_ref[k, 15]              # 12-bit edge-activity mask
-            vm = vm_ref[k]                     # (24, 128) V packed params
-            hm_ = hm_ref[k]                    # (6, 128) H packed params
+            r0 = smeta_ref[k, SM + 1]
+            c0 = smeta_ref[k, SM + 2]
+            em = smeta_ref[k, SM + 3]          # 12-bit edge-activity mask
+            vm = vm_ref[k]                     # (24, LN) V packed params
+            hm_ = hm_ref[k]                    # (6, LN) H packed params
 
             # ---- luma ----
             # Mosaic requires matching lane offsets on non-concat dims, so
@@ -388,7 +390,7 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             lbase = c0 * 16 + r0 * 32 + PLS - 36
             lba = pl.multiple_of((lbase // 128) * 128, 128)
             d = lbase - lba
-            L = lane_roll_narrow(sy[pl.ds(ly, 80), pl.ds(lba, 256)], -d)
+            L = lane_roll_narrow(sy[pl.ds(ly, RL), pl.ds(lba, 256)], -d)
             L32 = lane_roll_narrow(L, -32)
             L64 = lane_roll_narrow(L, -64)
             parts = []
@@ -404,22 +406,32 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
             regs8 = regs.astype(jnp.uint8)
             R = [lane_roll_narrow(regs8, -32 * m)[:, 0:32] if m else
                  regs8[:, 0:32] for m in range(G)]
-            Lf = lane_roll_narrow(sy[pl.ds(ly, 80), pl.ds(lba, 256)], -d)
+            # nothing wrote sy between the load and this store, so the
+            # initial load L IS the current superset — no reload
+            Lf = L
             LfA = Lf[:, 0:32]
             LfB = lane_roll_narrow(Lf, -32)[:, 0:32]
             LfC = lane_roll_narrow(Lf, -64)[:, 0:32]
-            colA = jnp.concatenate(
-                [R[0][0:8], LfA[8:16], R[1][0:8], LfA[24:32],
-                 R[2][0:8], LfA[40:48], R[3][0:8], LfA[56:64],
-                 LfA[64:80]], axis=0)
-            colB = jnp.concatenate(
-                [LfB[0:8], R[0][8:24], R[1][8:24], R[2][8:24], R[3][8:24],
-                 LfB[72:80]], axis=0)
-            colC = jnp.concatenate(
-                [LfC[0:24], R[0][24:32], LfC[32:40], R[1][24:32],
-                 LfC[48:56], R[2][24:32], LfC[64:72], R[3][24:32]], axis=0)
+            # column A: slot m's 8 above rows at 16m; gaps from LfA
+            pa = []
+            for m in range(G):
+                pa += [R[m][0:8], LfA[16 * m + 8:16 * m + 16]]
+            pa.append(LfA[16 * G:RL])
+            colA = jnp.concatenate(pa, axis=0)
+            # column B: slot m's own 16 rows at 16m+8
+            pb = [LfB[0:8]]
+            pb += [R[m][8:24] for m in range(G)]
+            pb.append(LfB[16 * G + 8:RL])
+            colB = jnp.concatenate(pb, axis=0)
+            # column C: slot m's 8 below rows at 16m+24; gaps from LfC
+            pc = [LfC[0:24]]
+            for m in range(G):
+                pc.append(R[m][24:32])
+                if m < G - 1:
+                    pc.append(LfC[16 * m + 32:16 * m + 40])
+            colC = jnp.concatenate(pc, axis=0)
             upd = jnp.concatenate([colA, colB, colC, Lf[:, 96:256]], axis=1)
-            sy[pl.ds(ly, 80), pl.ds(lba, 256)] = lane_roll_narrow(upd, d)
+            sy[pl.ds(ly, RL), pl.ds(lba, 256)] = lane_roll_narrow(upd, d)
 
             # ---- chroma: one load/store per plane, cb|cr slot halves ----
             # skipped entirely when no chroma edge is active
@@ -432,7 +444,7 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                 cba = pl.multiple_of((cbase // 128) * 128, 128)
                 dc = cbase - cba
                 Lc = [lane_roll_narrow(
-                    ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
+                    ref[pl.ds(cy, RC), pl.ds(cba, 256)], -dc)
                     for ref in (scb, scr)]
                 Lc16 = [lane_roll_narrow(Lp, -16) for Lp in Lc]
                 cparts = []
@@ -451,18 +463,18 @@ def _wf_shear_kernel(smeta_ref, vm_ref, hm_ref, y_in, cb_in, cr_in,
                         cregs8, -(32 * m + 16 * pi))[:, 0:16]
                         if (32 * m + 16 * pi) else cregs8[:, 0:16]
                         for m in range(G)]
-                    Lf = lane_roll_narrow(
-                        ref[pl.ds(cy, 40), pl.ds(cba, 256)], -dc)
-                    LfB = lane_roll_narrow(Lf, -16)[:, 0:16]
+                    Lf = Lc[pi]          # initial load still current
+                    LfB = Lc16[pi][:, 0:16]
                     colA = jnp.concatenate(
-                        [Cm[0][0:8], Cm[1][0:8], Cm[2][0:8], Cm[3][0:8],
-                         Lf[32:40, 0:16]], axis=0)
+                        [jnp.concatenate([Cm[m][0:8] for m in range(G)],
+                                         axis=0),
+                         Lf[8 * G:RC, 0:16]], axis=0)
                     colB = jnp.concatenate(
-                        [LfB[0:8], Cm[0][8:16], Cm[1][8:16], Cm[2][8:16],
-                         Cm[3][8:16]], axis=0)
+                        [LfB[0:8]] + [Cm[m][8:16] for m in range(G)],
+                        axis=0)
                     upd = jnp.concatenate([colA, colB, Lf[:, 32:256]],
                                           axis=1)
-                    ref[pl.ds(cy, 40), pl.ds(cba, 256)] = \
+                    ref[pl.ds(cy, RC), pl.ds(cba, 256)] = \
                         lane_roll_narrow(upd, dc)
 
         return 0
@@ -486,7 +498,7 @@ def _pack(alpha, tc, beta, bs):
 
 def _compact_map(bs_left, bs_top, l_alpha, l_beta, l_tc0,
                  c_alpha, c_beta, c_tc0):
-    """Per-MB compact packed parameter columns (nMB, 185), elementwise
+    """Per-MB compact packed parameter columns (nMB, 218), elementwise
     only (no gathers). Column 0 = any-edge flag; see module docstring
     for the kernel row layout the columns map onto."""
     n = bs_left.shape[0]
@@ -572,13 +584,6 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
                             height_mbs, interpret=False, shear=True):
     """Drop-in replacement for ops.deblock.deblock_frame on TPU."""
     from .deblock import boundary_strengths, edge_thresholds
-    from .pallas_deblock import deblock_frame_pallas
-
-    if width_mbs < 3:
-        return deblock_frame_pallas(
-            y, cb, cr, mb_class, nnz, mv, ref_slot, slice_id, disable_dblk,
-            qp_y, filter_off_a, filter_off_b, chroma_qp_offset, width_mbs,
-            height_mbs, interpret=interpret)
 
     bs_left, bs_top = boundary_strengths(
         mb_class.astype(jnp.int32), nnz.astype(jnp.int32),
@@ -591,6 +596,25 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
     c_alpha, c_beta, c_tc0 = edge_thresholds(
         qp_y, slice_id, filter_off_a, filter_off_b, chroma_qp_offset,
         width_mbs, height_mbs, chroma=True)
+    return deblock_frame_wavefront_from_bs(
+        y, cb, cr, bs_left, bs_top, l_alpha, l_beta, l_tc0, c_alpha,
+        c_beta, c_tc0, width_mbs, height_mbs, interpret=interpret,
+        shear=shear)
+
+
+def deblock_frame_wavefront_from_bs(y, cb, cr, bs_left, bs_top, l_alpha,
+                                    l_beta, l_tc0, c_alpha, c_beta, c_tc0,
+                                    width_mbs, height_mbs, interpret=False,
+                                    shear=True):
+    """Wavefront kernel on externally computed boundary strengths and
+    thresholds (the row-sharded stripe steps adjust bS at stripe
+    boundaries before filtering — parallel.rowshard)."""
+    from .pallas_deblock import deblock_frame_pallas_from_bs
+
+    if width_mbs < 3:
+        return deblock_frame_pallas_from_bs(
+            y, cb, cr, bs_left, bs_top, l_alpha, l_beta, l_tc0, c_alpha,
+            c_beta, c_tc0, width_mbs, height_mbs, interpret=interpret)
 
     hm_pad, n_wf, sm_static = _wavefront_layout(width_mbs, height_mbs)
     compact = _compact_map(bs_left, bs_top, l_alpha, l_beta, l_tc0,
@@ -612,18 +636,19 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
     eff = ((wf_any != 0) & (valid != 0)).astype(jnp.int32)
     # group edge-activity mask: OR of the effective slots' 12-bit masks
     ms = jnp.where(eff != 0, wf_em.astype(jnp.int32), 0)
-    gmask = ms[:, 0] | ms[:, 1] | ms[:, 2] | ms[:, 3]
+    gmask = functools.reduce(jnp.bitwise_or,
+                             [ms[:, m] for m in range(G)])
     smeta = jnp.asarray(sm_static) \
         .at[:, 2 * G:3 * G].set(eff) \
-        .at[:, 12].set(eff.max(axis=1)) \
-        .at[:, 15].set(gmask)
+        .at[:, SM].set(eff.max(axis=1)) \
+        .at[:, SM + 3].set(gmask)
 
     # kernel map tensors (invalid slots need no masking: their lanes are
     # computed but never stored). V values slot-broadcast over 32 lanes;
     # H rows carry the final lane patterns per slot.
     vmap_ = jnp.repeat(wf_v.transpose(0, 2, 1), 32, axis=2)
     hmap = wf_h.reshape(n_groups, G, 6, 32) \
-        .transpose(0, 2, 1, 3).reshape(n_groups, 6, 128)
+        .transpose(0, 2, 1, 3).reshape(n_groups, 6, LN)
 
     n_steps = max(1, -(-n_groups // GC))
     padg = n_steps * GC - n_groups
@@ -636,11 +661,11 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
     Hc, Wc = H // 2, W // 2
     if shear:
         hp = 16 * hm_pad + 24
-        wp = _round128(PLS + 16 * (width_mbs + 5)
-                       + 32 * (hm_pad - 4)) + 384
+        wp = _round128(PLS + 16 * (width_mbs + 2 * G - 3)
+                       + 32 * (hm_pad - G)) + 384
         hpc = 8 * hm_pad + 16
-        wpc = _round128(PLS + 8 * (width_mbs + 5)
-                        + 16 * (hm_pad - 4)) + 384
+        wpc = _round128(PLS + 8 * (width_mbs + 2 * G - 3)
+                        + 16 * (hm_pad - G)) + 384
         kern = partial(_wf_shear_kernel, H=H, W=W, hm=height_mbs,
                        n_wf=n_wf)
     else:
@@ -656,10 +681,10 @@ def deblock_frame_wavefront(y, cb, cr, mb_class, nnz, mv, ref_slot,
         num_scalar_prefetch=0,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((GC, 16), lambda i: (i, 0),
+            pl.BlockSpec((GC, SM + 4), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GC, 24, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((GC, 6, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GC, 24, LN), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GC, 6, LN), lambda i: (i, 0, 0)),
             pl.BlockSpec((H, W), lambda i: (0, 0)),
             pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),
             pl.BlockSpec((Hc, Wc), lambda i: (0, 0)),

@@ -448,13 +448,22 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
 
     exc_cap = exc_ids.shape[0]
     if exc_cap:
-        eids = jnp.minimum(exc_ids, n_mb - 1).astype(jnp.int32)
-        emv = mv[eids]
-        eref = ref_slot[eids]
+        # QUAD-grained exceptions: exc_ids = mb*4 + quadrant (padding
+        # >= nMB*4), 4 blocks each — a 16x8 MB computes 8 exception
+        # blocks instead of the former 16
+        qids = jnp.minimum(exc_ids, n_mb * 4 - 1).astype(jnp.int32)
+        emb = qids // 4
+        equad = qids % 4
+        # raster block ids of each quadrant (ops.unpack kQuadBlocks)
+        qblk = jnp.asarray([[0, 1, 4, 5], [2, 3, 6, 7],
+                            [8, 9, 12, 13], [10, 11, 14, 15]], jnp.int32)
+        blks = qblk[equad]                       # (cap, 4)
+        emv = mv[emb[:, None], blks]             # (cap, 4, 2)
+        eref = ref_slot[emb[:, None], blks]      # (cap, 4)
         bx = jnp.asarray(np.tile([0, 4, 8, 12], 4), jnp.int32)
         by = jnp.asarray(np.repeat([0, 4, 8, 12], 4), jnp.int32)
-        e_y16 = ((eids // width_mbs) * 16)[:, None] + by[None, :]
-        e_x16 = ((eids % width_mbs) * 16)[:, None] + bx[None, :]
+        e_y16 = ((emb // width_mbs) * 16)[:, None] + by[blks]
+        e_x16 = ((emb % width_mbs) * 16)[:, None] + bx[blks]
         emvx = emv[..., 0]
         emvy = emv[..., 1]
         eridx = _ref_index(jnp.maximum(eref, 0), used_slots)
@@ -465,7 +474,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
         ecy0 = jnp.clip((e_y16 >> 1) + (emvy >> 3), -3, Hc + 1) + CPAD
         ecx0 = jnp.clip((e_x16 >> 1) + (emvx >> 3), -3, Wc + 1) + CPAD
 
-        n_blk = exc_cap * 16
+        n_blk = exc_cap * 4
         z = jnp.zeros_like(ey0)
         bmeta = jnp.stack([ey0, ex0, efrac, eridx, z, z, z, z,
                            ecy0, ecx0, emvx & 7, emvy & 7, z, z, z, z],
@@ -477,7 +486,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
 
         # real entry count: groups past it exit immediately (the 1.5x cap
         # ladder leaves up to ~50% padding that otherwise computes garbage)
-        n_real = jnp.sum(exc_ids < n_mb) * 16
+        n_real = jnp.sum(exc_ids < n_mb * 4) * 4
         ey = _run(partial(_exc_luma_kernel, n_blocks=n_blk), bmeta_l,
                   [refs_y], 1, (GEL // CGRP) * 4, GEL, interpret,
                   nreal=n_real)
@@ -485,18 +494,38 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
                         bmeta_c, [refs_cb, refs_cr], 2, (GEC // 16) * 2,
                         GEC, interpret, nreal=n_real)
 
-        def blocks_to_mbs(t, pitch, size):
+        def blocks_to_quads(t, pitch, size):
+            """Kernel tiles -> (cap, 2*size, 2*size) quadrant pixels
+            (block j of a quad is at raster position (j//2, j%2)).
+            Assembled with minor-dim concatenates, NOT transposes — u8
+            tile transposes lower to sublane/lane shuffles and cost
+            ~0.5 ms/frame at 1080p."""
             blk = _tiles_to_grid(t, 128 // pitch, pitch, size)[:n_blk]
-            blk = blk.reshape(exc_cap, 4, 4, size, size)
-            return blk.transpose(0, 1, 3, 2, 4).reshape(
-                exc_cap, 4 * size, 4 * size)
+            q4 = blk.reshape(exc_cap, 4, size, size)
+            top = jnp.concatenate([q4[:, 0], q4[:, 1]], axis=2)
+            bot = jnp.concatenate([q4[:, 2], q4[:, 3]], axis=2)
+            return jnp.concatenate([top, bot], axis=1)
 
-        grid_y = grid_y.at[exc_ids].set(blocks_to_mbs(ey, CWIN, 4),
-                                        mode="drop")
-        grid_cb = grid_cb.at[exc_ids].set(blocks_to_mbs(ecb, 8, 2),
-                                          mode="drop")
-        grid_cr = grid_cr.at[exc_ids].set(blocks_to_mbs(ecr, 8, 2),
-                                          mode="drop")
+        # scatter quads into a quad-indexed buffer (ids are unique: one
+        # entry per quad), then merge into the MB grid with concatenates
+        # + a broadcast quadrant mask — no pixel-layout transposes
+        qpresent = jnp.zeros((n_mb * 4,), jnp.bool_) \
+            .at[exc_ids].set(True, mode="drop").reshape(n_mb, 2, 2)
+
+        def quad_merge(grid, quads, size):
+            s2 = 2 * size
+            qbuf = jnp.zeros((n_mb * 4, s2, s2), grid.dtype) \
+                .at[exc_ids].set(quads, mode="drop") \
+                .reshape(n_mb, 2, 2, s2, s2)
+            top = jnp.concatenate([qbuf[:, 0, 0], qbuf[:, 0, 1]], axis=2)
+            bot = jnp.concatenate([qbuf[:, 1, 0], qbuf[:, 1, 1]], axis=2)
+            tile = jnp.concatenate([top, bot], axis=1)   # (nMB, 4s, 4s)
+            mask = jnp.repeat(jnp.repeat(qpresent, s2, axis=1), s2, axis=2)
+            return jnp.where(mask, tile, grid)
+
+        grid_y = quad_merge(grid_y, blocks_to_quads(ey, CWIN, 4), 4)
+        grid_cb = quad_merge(grid_cb, blocks_to_quads(ecb, 8, 2), 2)
+        grid_cr = quad_merge(grid_cr, blocks_to_quads(ecr, 8, 2), 2)
 
     return grid_y, grid_cb, grid_cr
 

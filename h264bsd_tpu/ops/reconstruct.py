@@ -127,7 +127,8 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
 
     n_mb = width_mbs * height_mbs
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                    intra_mbs, intra_payload, n_mb, slice_ids)
+                    intra_mbs, intra_payload, n_mb, slice_ids,
+                    sparse_ids=sparse_ids)
     mb_class = t["mb_class"].astype(jnp.int32)
 
     # sparse-domain dequant+IDCT: only the non-empty blocks are

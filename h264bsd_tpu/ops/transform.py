@@ -249,14 +249,17 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     d = d.at[:, 0].set(jnp.where(inject, dc0, d[:, 0]))
     res_e = idct4x4(d)                                   # (cap, 16)
 
-    # DC-only base per block, then overwrite with the sparse AC results
+    # DC-only base per block, merged LAZILY under the scatter's presence
+    # mask (scattering onto the broadcast base would materialize a full
+    # (nMB*24, 16) copy; scattering onto zeros is a memset and the
+    # where() fuses)
+    from .unpack import scatter_present
     base_l = jnp.where(is_i16[:, None] != 0,
                        (ldc + 32) >> 6, 0)               # (nMB, 16)
     base_c = (cdc + 32) >> 6                             # (nMB, 8)
     base = jnp.concatenate([base_l, base_c], axis=1)     # (nMB, 24)
-    residual = jnp.broadcast_to(base[:, :, None],
-                                (n_mb, 24, 16)).reshape(n_mb * 24, 16)
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
-    residual = scatter_unique(residual, scatter_id, res_e, n_mb * 24)
-    residual = residual.reshape(n_mb, 24, 16)
+    buf, pres = scatter_present(scatter_id, res_e, n_mb * 24, jnp.int32)
+    residual = jnp.where(pres.reshape(n_mb, 24, 1),
+                         buf.reshape(n_mb, 24, 16), base[:, :, None])
     return mb_residual_planes(residual)

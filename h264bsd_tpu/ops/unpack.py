@@ -1,15 +1,17 @@
 """Device-side unpacking of the host front-end's compact transfer format.
 
 Per frame the host sends (sizes for a typical 1080p P frame):
-  * packed per-MB records, 12 B/MB (~98 KB)   - build_packed(), mbparse.cpp
+  * packed per-MB records, 8 B/MB (~65 KB)    - build_packed(), mbparse.cpp
   * per-slice parameter table (few rows) + dense per-MB slice-table
     indices ONLY for multi-slice pictures (slice ids are not derivable on
     device under FMO, where slices interleave over the MB grid)
   * weight-classed sparse residual stream (~3% density, ~70 KB: 65% of
     blocks are 4-byte single-coefficient records, ~27% 12-byte short
     blocks, the rest 20-byte full blocks)
-  * sparse MV/ref exception records (68 B per exception MB: 16 packed
-    u32 blocks x13|y13|(ref+1)<<26, ~6% of MBs)
+  * sparse MV/ref exception records at 8x8-QUAD grain (20 B per quad
+    that differs from the MB's base MV: id = mb*4+q + 4 packed u32
+    blocks x13|y13|(ref+1)<<26 — a 16x8/8x16 MB ships 2 quads, 8x8
+    three; only sub-8x8 partitioning needs all 4)
   * nibble-packed intra payloads (mode|avail<<4 per block, intra MBs only)
 vs ~9 MB of dense tensors — host->device bandwidth through the chip
 interconnect is the decode pipeline's scarcest resource. Everything is
@@ -19,6 +21,7 @@ re-densified on device inside the jitted step.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -42,13 +45,38 @@ def scatter_unique(base_rows, ids, updates, n_rows):
                             unique_indices=True)[:n_rows]
 
 
+def scatter_present(ids, updates, n_rows, dtype=None):
+    """Scatter rows into a ZEROS buffer and return (buf, present):
+    buf[(n_rows,) + row shape] with updates at their ids, present
+    (n_rows,) bool marking written rows. Padding/invalid ids (>= n_rows)
+    drop into distinct spare rows (unique_indices stays sound).
+
+    This is the cheap form of scatter_unique when the conceptual base is
+    a broadcast (per-MB default values): scattering onto a broadcast
+    base forces XLA to MATERIALIZE it (a full copy per scatter, ~1 ms a
+    frame at 1080p across the unpack scatters); scattering onto zeros is
+    a memset, and the caller merges the default lazily with
+    jnp.where(present, buf, default) — which XLA fuses."""
+    cap = ids.shape[0]
+    dtype = dtype or updates.dtype
+    buf = jnp.zeros((n_rows + cap,) + updates.shape[1:], dtype)
+    safe = jnp.where(ids < n_rows, ids, n_rows + jnp.arange(cap))
+    buf = buf.at[safe].set(updates.astype(dtype), unique_indices=True)
+    pres = jnp.zeros((n_rows + cap,), jnp.bool_) \
+        .at[safe].set(True, unique_indices=True)
+    return buf[:n_rows], pres[:n_rows]
+
+
+# raster block b <-> quad-grouped position 4*q + j, where q is the 8x8
+# quadrant (2*(b//8) + (b%4)//2) and j the raster position within it
+# (2*((b//4)%2) + b%2). The permutation is an involution.
+QUAD_PERM = np.array([0, 1, 4, 5, 2, 3, 6, 7,
+                      8, 9, 12, 13, 10, 11, 14, 15])
+
+
 def _sext8(v):
     """Low byte of an int32/uint32 vector, sign-extended, as int32."""
     return ((v & 0xFF) ^ 0x80).astype(jnp.int32) - 0x80
-
-
-def _sext16(v):
-    return ((v & 0xFFFF) ^ 0x8000).astype(jnp.int32) - 0x8000
 
 
 def _bytes_of(words):
@@ -61,15 +89,21 @@ def _bytes_of(words):
 
 
 def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
-                intra_mbs, intra_payload, n_mbs, slice_ids=None):
+                intra_mbs, intra_payload, n_mbs, slice_ids=None,
+                sparse_ids=None):
     """Rebuild the per-MB tensor dict from the compact streams.
 
-    packed: (nMB, 3) uint32 record words (12 B/MB: qp | flags<<8 |
-    modes<<16 | ref<<24, then packed mv i16x2, then the nnz mask);
+    packed: (nMB, 2) uint32 record words (8 B/MB: qp | flags<<8 |
+    modes<<16 | ref<<24, then mv_base x13 | y13<<13 | nnz_dc<<26);
     slice_table: (S, 4) i8; slice_ids: (nMB,) u16 table indices
     (None/size-0 for single-slice pictures -> all index 0); mv_exc_*:
-    sparse per-block motion (payload as (cap, 16) u32 words); intra_*:
-    sparse intra modes. Padding entries use id >= n_mbs (dropped).
+    sparse quad-grained motion (ids = mb*4 + quadrant, payload (cap, 4)
+    u32 words); intra_*: sparse intra modes; sparse_ids: the residual
+    block ids (mb*26 + b), from which the per-AC-block nnz bits are
+    DERIVED (a block has totalCoeff > 0 iff it shipped levels; I_PCM
+    MBs are OR-ed in from mb_class — their totalCoeff is forced to 16
+    with no residual stream, h264bsd I_PCM semantics). Padding entries
+    use out-of-range ids (dropped by the scatters).
     """
     n = n_mbs
     w0 = packed[:, 0]
@@ -89,13 +123,26 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     t["chroma_mode"] = (modes >> 2) & 3
     ref_base = _sext8(w0 >> 24).astype(jnp.int8)
     w1 = packed[:, 1]
-    mv_base = jnp.stack([_sext16(w1), _sext16(w1 >> 16)],
+    sext13 = lambda v: ((v & 0x1FFF) ^ 0x1000).astype(jnp.int32) - 0x1000
+    mv_base = jnp.stack([sext13(w1), sext13(w1 >> 13)],
                         axis=-1).astype(jnp.int16)          # (n, 2)
-    nnz_mask = packed[:, 2]
-    t["nnz"] = ((nnz_mask[:, None] >> jnp.arange(24, dtype=jnp.uint32)
-                 [None, :]) & 1).astype(jnp.int32)
-    t["nnz_dc"] = ((nnz_mask[:, None] >> (24 + jnp.arange(
+    t["nnz_dc"] = ((w1[:, None] >> (26 + jnp.arange(
         3, dtype=jnp.uint32))[None, :]) & 1).astype(jnp.int32)
+
+    # per-AC-block nnz bits, derived: presence of each sparse residual
+    # AC block id, then OR in I_PCM MBs (class 5)
+    if sparse_ids is None:
+        sparse_ids = jnp.zeros((0,), jnp.int32)
+    sid_flat = sparse_ids.reshape(-1).astype(jnp.int32)
+    s_mb = sid_flat // 26
+    s_b = sid_flat % 26
+    is_ac = (sid_flat < n * 26) & (s_b < 24)
+    cap = sid_flat.shape[0]
+    safe = jnp.where(is_ac, s_mb * 24 + s_b, n * 24 + jnp.arange(cap))
+    pres = jnp.zeros((n * 24 + cap,), jnp.bool_) \
+        .at[safe].set(True, unique_indices=True)[:n * 24]
+    nnz = pres.reshape(n, 24).astype(jnp.int32)
+    t["nnz"] = jnp.where((t["mb_class"] == 5)[:, None], 1, nnz)
 
     # per-slice deblock parameters; concealed MBs override them with zeros
     # (ConcealMb conceal.c:388-392 fixes filterOffsetA/B and
@@ -116,18 +163,26 @@ def unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
     t["filter_off_b"] = row[:, 1].astype(jnp.int8)
     t["chroma_qp_offset"] = row[:, 2].astype(jnp.int8)
 
-    # dense MV/ref: broadcast the base, scatter the exceptions
-    # (16 packed u32 blocks per exception MB: x13 | y13<<13 | (ref+1)<<26)
-    mv = jnp.broadcast_to(mv_base[:, None, :], (n, 16, 2))
-    ref = jnp.broadcast_to(ref_base[:, None], (n, 16))
-    pk = mv_exc_payload                                    # (cap, 16) u32
+    # dense MV/ref from QUAD-grained exceptions (ids = mb*4 + quadrant;
+    # payload 4 packed u32 blocks of the 8x8 quadrant: x13 | y13<<13 |
+    # (ref+1)<<26, kQuadBlocks order): ONE raw-payload scatter onto a
+    # zeros buffer + presence; field extraction and the per-MB base
+    # default merge lazily (fused), instead of materializing broadcast
+    # bases and scattering mv and ref separately. QUAD_PERM maps the
+    # quad-grouped block order back to raster (its own inverse).
+    raw, qpres = scatter_present(mv_exc_ids.reshape(-1), mv_exc_payload,
+                                 n * 4, jnp.uint32)        # (n*4, 4)
     sext13 = lambda v: ((v & 0x1FFF) ^ 0x1000).astype(jnp.int32) - 0x1000
-    exc_mv = jnp.stack([sext13(pk), sext13(pk >> 13)],
-                       axis=-1).astype(jnp.int16)
-    exc_ref = (((pk >> 26) & 0x3F).astype(jnp.int32) - 1).astype(jnp.int8)
-    eids = mv_exc_ids.reshape(-1)
-    t["mv"] = scatter_unique(mv, eids, exc_mv, n)
-    t["ref_slot"] = scatter_unique(ref, eids, exc_ref, n)
+    qp_ = qpres[:, None]
+    mvx = jnp.where(qp_, sext13(raw),
+                    mv_base[:, 0].repeat(4)[:, None]).astype(jnp.int16)
+    mvy = jnp.where(qp_, sext13(raw >> 13),
+                    mv_base[:, 1].repeat(4)[:, None]).astype(jnp.int16)
+    ref_qg = jnp.where(qp_, ((raw >> 26) & 0x3F).astype(jnp.int32) - 1,
+                       ref_base.astype(jnp.int32).repeat(4)[:, None])
+    mv_qg = jnp.stack([mvx, mvy], axis=-1)                 # (n*4, 4, 2)
+    t["mv"] = mv_qg.reshape(n, 16, 2)[:, QUAD_PERM]
+    t["ref_slot"] = ref_qg.astype(jnp.int8).reshape(n, 16)[:, QUAD_PERM]
 
     # dense intra modes/avail from the nibble-packed sparse payloads
     # (byte j = mode | avail << 4)
@@ -150,8 +205,8 @@ def densify_residual(sparse_ids, sparse_levels, n_mbs):
 
 def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
                 exc_cap, intra_cap, stab_cap, sid_cap=0):
-    """Split the single transfer blob (FrameTensors::build_blob layout)
-    into the eight streams; all offsets are static per tier combo.
+    """Split the single COMPACT transfer blob
+    (FrameTensors::build_blob_compact layout) into the eight streams.
 
     The blob is parsed as uint32 WORDS (every section is 4-byte aligned
     by construction): byte fields come out via shift/mask vector math
@@ -159,6 +214,16 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
     and dominated this stage's cost (~3.3 ms/frame of a 13.7 ms 1080p
     frame before the change). A u8 blob input is converted with one
     whole-buffer bitcast.
+
+    Sections are written back-to-back at their REAL counts behind a
+    16-word count header, so the transfer volume tracks content instead
+    of the caps (the tunnel host->device link moves ~15-35 MB/s; cap
+    padding was ~35% of a 22 MB stream decode). Every section is sliced
+    at its cap size from a header-derived (traced) offset, and id
+    entries past the real count are remapped to the padding id — the
+    slices may overrun into following sections, which is safe because
+    the caller guarantees total >= every section offset + cap size
+    (compact_need_words) so a slice never clamps backwards.
 
     The sparse residual arrives in three weight classes (the host
     classifier cls_single/cls_short/cls_full): 4-byte single-coefficient
@@ -171,49 +236,85 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
         words = lax.bitcast_convert_type(blob.reshape(-1, 4), jnp.uint32)
     else:
         words = lax.bitcast_convert_type(blob, jnp.uint32)
-    off = 0
+
+    hdr = lax.dynamic_slice_in_dim(words, 0, 16).astype(jnp.int32)
+    c_sgl, c_sht, c_full, c_wide, c_exc, c_intra, c_stab = (
+        hdr[0], hdr[1], hdr[2], hdr[3], hdr[4], hdr[5], hdr[6])
+    off = 16
 
     def take(count_words):
         nonlocal off
         out = lax.dynamic_slice_in_dim(words, off, count_words)
-        off += count_words
         return out
 
-    packed = take(n * 3).reshape(n, 3)
+    def mask_ids(ids, cnt, pad):
+        return jnp.where(jnp.arange(ids.shape[0]) < cnt, ids, pad)
+
+    packed = take(n * 2).reshape(n, 2)
+    off = off + n * 2
     stab = _bytes_of(take(stab_cap)).reshape(stab_cap, 4)
     stab = (((stab & 0xFF) ^ 0x80) - 0x80).astype(jnp.int8)  # sign-extend
+    off = off + c_stab
     # sid_cap is even-rounded by the caller for section alignment; only
-    # the first n entries are real per-MB ids
+    # the first n entries are real per-MB ids. The section travels dense
+    # (exactly sid_cap*2 bytes) whenever present.
     if sid_cap:
         sw = take(sid_cap // 2)
         sids = jnp.stack([sw & 0xFFFF, sw >> 16],
                          axis=-1).reshape(-1)[:n].astype(jnp.uint16)
+        off = off + sid_cap // 2
     else:
         sids = None
 
+    # variable sections, DESCENDING cap-size order (see
+    # build_blob_compact): payloads first, then the id streams
+    epay = take(exc_cap * 4).reshape(-1, 4)              # (cap, 4) u32
+    off = off + 4 * c_exc
+
     # single records: u32 = id << 12 | pos << 8 | (value & 0xFF)
     sgl = take(single_cap)
-    sgl_ids = (sgl >> 12).astype(jnp.int32)
-    sgl_pos = ((sgl >> 8) & 15).astype(jnp.int32)
+    off = off + c_sgl
     sgl_val = _sext8(sgl).astype(jnp.int16)
+    sgl_pos = ((sgl >> 8) & 15).astype(jnp.int32)
+
+    sb = _bytes_of(take(short_cap * 2))                  # (cap*2, 4)
+    off = off + 2 * c_sht
+    sht8 = (((sb ^ 0x80) - 0x80).astype(jnp.int16)
+            .reshape(short_cap, 8))
+    sht_lv = jnp.concatenate(
+        [sht8, jnp.zeros((short_cap, 8), jnp.int16)], axis=1)
+
+    ib = _bytes_of(take(intra_cap * 4))                  # (cap*4, 4)
+    off = off + 4 * c_intra
+    ipay = ib.astype(jnp.uint8).reshape(-1, 16)          # (cap, 16) u8
+
+    fb = _bytes_of(take(full_cap * 4))                   # (cap*4, 4)
+    off = off + 4 * c_full
+    lv8 = ((fb ^ 0x80) - 0x80).reshape(-1)               # (cap*16,) i32
+    # padded full entries may carry garbage levels from following
+    # sections; zero them so the wide-escape scatter base is clean
+    lv8 = jnp.where(jnp.arange(full_cap * 16) < c_full * 16, lv8, 0)
+
+    sht_ids = mask_ids(take(short_cap).astype(jnp.int32), c_sht, n * 26)
+    off = off + c_sht
+    eids = mask_ids(take(exc_cap).astype(jnp.int32), c_exc, n * 4)
+    off = off + c_exc
+    iids = mask_ids(take(intra_cap).astype(jnp.int32), c_intra, n)
+    off = off + c_intra
+    ids = mask_ids(take(full_cap).astype(jnp.int32), c_full, n * 26)
+    off = off + c_full
+    wide_ids = mask_ids(take(wide_cap).astype(jnp.int32), c_wide,
+                        full_cap * 16)
+    off = off + c_wide
+    wide_vals = take(wide_cap).astype(jnp.int32)
+
+    sgl_ids = mask_ids((sgl >> 12).astype(jnp.int32), c_sgl, n * 26)
     # one-hot multiply, not a scatter: per-row scatters serialize on the
     # TPU while this is a pure (cap, 16) elementwise op the compiler
     # fuses with the surrounding bit math
     sgl_lv = jnp.where(sgl_pos[:, None] == jnp.arange(16)[None, :],
                        sgl_val[:, None], jnp.int16(0))
 
-    sht_ids = take(short_cap).astype(jnp.int32)
-    sb = _bytes_of(take(short_cap * 2))                  # (cap*2, 4)
-    sht8 = (((sb ^ 0x80) - 0x80).astype(jnp.int16)
-            .reshape(short_cap, 8))
-    sht_lv = jnp.concatenate(
-        [sht8, jnp.zeros((short_cap, 8), jnp.int16)], axis=1)
-
-    ids = take(full_cap).astype(jnp.int32)
-    fb = _bytes_of(take(full_cap * 4))                   # (cap*4, 4)
-    lv8 = ((fb ^ 0x80) - 0x80).reshape(-1)               # (cap*16,) i32
-    wide_ids = take(wide_cap).astype(jnp.int32)
-    wide_vals = take(wide_cap).astype(jnp.int32)
     flat = jnp.concatenate([lv8.astype(jnp.int16),
                             jnp.zeros((wide_cap,), jnp.int16)])
     safe_w = jnp.where(wide_ids < full_cap * 16, wide_ids,
@@ -224,10 +325,30 @@ def unpack_blob(blob, n_mbs, single_cap, short_cap, full_cap, wide_cap,
 
     all_ids = jnp.concatenate([sgl_ids, sht_ids, ids])
     all_lv = jnp.concatenate([sgl_lv, sht_lv, full_lv])
-
-    eids = take(exc_cap).astype(jnp.int32)
-    epay = take(exc_cap * 16).reshape(-1, 16)            # (cap, 16) u32
-    iids = take(intra_cap).astype(jnp.int32)
-    ib = _bytes_of(take(intra_cap * 4))                  # (cap*4, 4)
-    ipay = ib.astype(jnp.uint8).reshape(-1, 16)          # (cap, 16) u8
     return packed, stab, all_ids, all_lv, eids, epay, iids, ipay, sids
+
+
+def compact_blob_words(counts, n_mbs, caps):
+    """(real_words, need_words) of a compact blob: real_words is the
+    written compact size; need_words guarantees every cap-sized device
+    slice stays in bounds (so dynamic_slice never clamps backwards —
+    see unpack_blob). counts = blob_counts order; caps = unpack caps."""
+    c0, c1, c2, c3, c4, c5, c6 = (int(x) for x in counts[:7])
+    sgl, sht, full, wide, exc, intra, stab, sid = caps
+    c0, c1, c2, c3, c4, c5, c6 = (min(c0, sgl), min(c1, sht),
+                                  min(c2, full), min(c3, wide),
+                                  min(c4, exc), min(c5, intra),
+                                  min(c6, stab))
+    # section order mirrors build_blob_compact: header, packed, stab,
+    # sid, then variable sections by descending cap size
+    sizes_real = [16, n_mbs * 2, c6, sid // 2, 4 * c4, c0, 2 * c1,
+                  4 * c5, 4 * c2, c1, c4, c5, c2, c3, c3]
+    sizes_cap = [16, n_mbs * 2, stab, sid // 2, 4 * exc, sgl, 2 * sht,
+                 4 * intra, 4 * full, sht, exc, intra, full, wide, wide]
+    real = sum(sizes_real)
+    need = 0
+    off = 0
+    for r, c in zip(sizes_real, sizes_cap):
+        need = max(need, off + c)
+        off += r
+    return real, max(need, real)

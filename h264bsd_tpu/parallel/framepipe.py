@@ -61,13 +61,12 @@ def make_framepipe_step(mesh, axis, width_mbs, height_mbs, caps,
         h, w = height_mbs * 16, width_mbs * 16
 
         def active(_):
-            dy, dcb, dcr = _frame_decode_body(
+            _, (y, cb, cr) = _frame_decode_body(
                 blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                 cfr, crs, width_mbs, height_mbs, caps, wavefront, used,
                 mc_pallas, deblock_pallas)
-            return (dy[slot].astype(jnp.uint32),
-                    dcb[slot].astype(jnp.uint32),
-                    dcr[slot].astype(jnp.uint32))
+            return (y.astype(jnp.uint32), cb.astype(jnp.uint32),
+                    cr.astype(jnp.uint32))
 
         def idle(_):
             return (jnp.zeros((h, w), jnp.uint32),
@@ -171,8 +170,8 @@ def decode_stream_framepipe(data: bytes, mesh, axis: str = "pipe",
                 yn = np.asarray(ry).copy()
                 cbn = np.asarray(rcb).copy()
                 crn = np.asarray(rcr).copy()
-                mb_class = prep["blob"][:n_mbs * 12].reshape(
-                    n_mbs, 12)[:, 1] & 7
+                mb_class = prep["blob"][64:64 + n_mbs * 8].reshape(
+                    n_mbs, 8)[:, 1] & 7
                 conceal_picture(yn, cbn, crn, mb_class != 6,
                                 prep["w_mbs"], prep["h_mbs"],
                                 bool(info["conceal_from_ref"]), None)

@@ -145,12 +145,18 @@ class MultiStreamDecoder:
         mx = [max(c[k] for c, _, _ in ready.values()) for k in range(7)]
         wavefront = mx[5] > WF_THRESH
         caps = caps_from_counts(mx, n_mbs, wavefront)
+        # shared compact-blob total for the round (np.stack needs one
+        # shape; the tier ladder bounds the compile surface)
+        from ..models.decoder import ladder, tier
+        from ..ops.unpack import compact_blob_words
+        _, need_w = compact_blob_words(mx, n_mbs, caps)
+        total_w = tier(need_w, ladder(8192, 12) + (need_w,))
 
-        if caps not in self._zero_blob:
-            sgl, sht, cap, wcap, ecap, icap, scap, sidcap = caps
-            size = (n_mbs * 12 + scap * 4 + sidcap * 2 + sgl * 4 +
-                    sht * 12 + cap * 20 + wcap * 8 + ecap * 68 + icap * 20)
-            self._zero_blob[caps] = np.zeros(size, np.uint8)
+        key = (caps, total_w)
+        if key not in self._zero_blob:
+            # all-zero compact blob: zero header counts = every section
+            # empty, a no-op frame for streams without a picture
+            self._zero_blob[key] = np.zeros(total_w * 4, np.uint8)
         n_scratch = self.dpb[0].shape[1] - 1
 
         blobs, slots, cfr, crs = [], [], [], []
@@ -160,7 +166,7 @@ class MultiStreamDecoder:
         for i in range(self.n):
             if i in ready:
                 _, info, nonex = ready[i]
-                blobs.append(self.fes[i].blob(*caps))
+                blobs.append(self.fes[i].blob_compact(*caps, total_w * 4))
                 n_conc = info["num_concealed_mbs"]
                 partial_loss = 0 < n_conc < n_mbs
                 needs_exact = partial_loss and (
@@ -183,7 +189,7 @@ class MultiStreamDecoder:
                 if len(mb):
                     ipcm.append((i, mb, data))
             else:
-                blobs.append(self._zero_blob[caps])
+                blobs.append(self._zero_blob[key])
                 slots.append(n_scratch)
                 cfr.append(False)
                 crs.append(-1)
@@ -270,7 +276,7 @@ class MultiStreamDecoder:
         yn = np.asarray(ry).copy()
         cbn = np.asarray(rcb).copy()
         crn = np.asarray(rcr).copy()
-        mb_class = blob_np[:n_mbs * 12].reshape(n_mbs, 12)[:, 1] & 7
+        mb_class = blob_np[64:64 + n_mbs * 8].reshape(n_mbs, 8)[:, 1] & 7
         decoded = mb_class != 6
         conceal_picture(yn, cbn, crn, decoded, w_mbs, h_mbs,
                         bool(info["conceal_from_ref"]), None)

@@ -306,7 +306,7 @@ def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
         (packed, stab, sp_ids, sp_lv, eids, epay, imbs, ipay,
          sids) = unpack_blob(blob, n_mbs, *caps)
         tf = unpack_meta(packed, stab, eids, epay, imbs, ipay, n_mbs,
-                         sids)
+                         sids, sparse_ids=sp_ids)
         mb_class_full = tf["mb_class"].astype(jnp.int32)
         rl_full, rc_full = residual_planes_sparse(
             sp_ids.reshape(-1).astype(jnp.int32), sp_lv.astype(jnp.int32),

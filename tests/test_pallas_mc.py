@@ -43,8 +43,10 @@ def test_mc_parity_interpret(seed):
     want_cr = np.asarray(mb_grid_to_plane(
         jnp.clip(pcr, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
 
-    exc_ids = np.full(8, n_mb, np.int32)
-    exc_ids[:len(exc)] = exc
+    # quad-grained exception ids (mb*4 + quadrant); emit all 4 quads
+    exc_ids = np.full(16, n_mb * 4, np.int32)
+    exc_ids[:4 * len(exc)] = (exc[:, None] * 4 +
+                              np.arange(4)[None, :]).reshape(-1)
     used = np.array([0, 2], np.int32)
     got_y, got_cb, got_cr = mc_predict_planes(
         jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
@@ -89,8 +91,9 @@ def test_mc_multigroup_parity_interpret():
     want_cr = np.asarray(mb_grid_to_plane(
         jnp.clip(pcr, 0, 255).astype(jnp.uint8), w_mbs, h_mbs))
 
-    exc_ids = np.full(8, n_mb, np.int32)
-    exc_ids[:len(exc)] = exc
+    exc_ids = np.full(16, n_mb * 4, np.int32)
+    exc_ids[:4 * len(exc)] = (exc[:, None] * 4 +
+                              np.arange(4)[None, :]).reshape(-1)
     got_y, got_cb, got_cr = mc_predict_planes(
         jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
         jnp.asarray(mv), jnp.asarray(ref_slot), jnp.asarray(exc_ids),

@@ -54,7 +54,7 @@ def main():
         @partial(jax.jit, static_argnames=("caps",))
         def stage(blob, caps, y, cb, cr):
             s = unpack_blob(blob, n_mbs, *caps)
-            t = unpack_meta(s[0], s[1], s[4], s[5], s[6], s[7], n_mbs)
+            t = unpack_meta(s[0], s[1], s[4], s[5], s[6], s[7], n_mbs, s[8], sparse_ids=s[2])
             return mod.deblock_frame_pallas(
                 y, cb, cr, t["mb_class"], t["nnz"], t["mv"], t["ref_slot"],
                 t["slice_id"], t["disable_dblk"], t["qp_y"],
@@ -66,7 +66,7 @@ def main():
         @partial(jax.jit, static_argnames=("caps",))
         def stage(blob, caps, dpb_y, dpb_cb, dpb_cr, used):
             s = unpack_blob(blob, n_mbs, *caps)
-            t = unpack_meta(s[0], s[1], s[4], s[5], s[6], s[7], n_mbs)
+            t = unpack_meta(s[0], s[1], s[4], s[5], s[6], s[7], n_mbs, s[8], sparse_ids=s[2])
             return mod.mc_predict_grids(
                 dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
                 t["ref_slot"].astype(jnp.int32),

@@ -199,7 +199,7 @@ def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
     data = make_conformance_stream(width_mbs=w_mbs, height_mbs=h_mbs,
                                    n_frames=3)
     dec = Decoder(caps_pin=pin_caps_for_stream(data))
-    single = sharded = None
+    single = sharded = sharded_k = None
     steps = {}
     pos = 0
     while pos < len(data):
@@ -218,7 +218,7 @@ def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
                 single = (jnp.zeros((ns, h, w), jnp.uint8),
                           jnp.zeros((ns, h // 2, w // 2), jnp.uint8),
                           jnp.zeros((ns, h // 2, w // 2), jnp.uint8))
-                sharded = single
+                sharded = sharded_k = single
             n_mbs = prep["n_mbs"]
             pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
                    jnp.zeros((n_mbs, 8, 8), jnp.uint8),
@@ -232,10 +232,22 @@ def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
                 jnp.int32(pi["conceal_ref_slot"]), w_mbs, h_mbs,
                 prep["caps"], prep["wavefront"],
                 jnp.asarray(prep["used_slots"]), False, False)
+            used = jnp.asarray(prep["used_slots"])
             if prep["caps"] not in steps:
                 steps[prep["caps"]] = make_row_sharded_blob_step(
                     row_mesh, "row", w_mbs, h_mbs, prep["caps"])
-            sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot)
+            sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot,
+                                          used)
+            # the PRODUCTION Pallas kernels through the row axis
+            # (interpret mode off-TPU), byte-compared at the end
+            interp = jax.default_backend() != "tpu"
+            key = ("kern", prep["caps"])
+            if key not in steps:
+                steps[key] = make_row_sharded_blob_step(
+                    row_mesh, "row", w_mbs, h_mbs, prep["caps"],
+                    mc_pallas=True, deblock_pallas=True,
+                    interpret=interp)
+            sharded_k = steps[key](blob, *pcm, *sharded_k, slot, used)
         elif status >= fe.ERROR and read == 0:
             break
     jax.block_until_ready((single, sharded))
@@ -243,6 +255,9 @@ def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
     for got, want in zip(sharded, single):
         assert np.array_equal(np.asarray(got), np.asarray(want)), \
             "blob-path sharded decode diverged from the fast step"
+    for got, want in zip(sharded_k, single):
+        assert np.array_equal(np.asarray(got), np.asarray(want)), \
+            "kernel-path sharded decode diverged from the fast step"
 
 
 def entry_fn_check():

@@ -366,7 +366,8 @@ REF_GROUP = 4   # DPB slots whose padded planes fit VMEM per kernel pass
 
 
 def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
-                     used_slots, width_mbs, height_mbs, interpret=False):
+                     used_slots, width_mbs, height_mbs, interpret=False,
+                     mb_row_offset=0):
     """Motion compensation for the whole frame on TPU via Pallas.
 
     mv: (nMB, 16, 2) int32 quarter-pel; ref_slot: (nMB, 16) int32;
@@ -386,13 +387,13 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     if n_groups <= 1:
         return _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
                                  exc_ids, used_slots, width_mbs,
-                                 height_mbs, interpret)
+                                 height_mbs, interpret, mb_row_offset)
     out = None
     for g in range(n_groups):
         grp = used_slots[g * REF_GROUP:(g + 1) * REF_GROUP]
         res = _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
                                 exc_ids, grp, width_mbs, height_mbs,
-                                interpret)
+                                interpret, mb_row_offset)
         if out is None:
             out = res
             continue
@@ -409,8 +410,13 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
 
 
 def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
-                      used_slots, width_mbs, height_mbs, interpret=False):
-    """One kernel pass over <= REF_GROUP resident reference slots."""
+                      used_slots, width_mbs, height_mbs, interpret=False,
+                      mb_row_offset=0):
+    """One kernel pass over <= REF_GROUP resident reference slots.
+
+    mb_row_offset shifts MB rows for row-sharded stripes: the mv/exc
+    tensors cover a stripe while the reference planes are whole frames
+    (parallel.rowshard stripe phases)."""
     n_mb = mv.shape[0]
     H, W = dpb_y.shape[1], dpb_y.shape[2]
     Hc, Wc = H // 2, W // 2
@@ -420,7 +426,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     refs_cr = _pad_edge(dpb_cr[used_slots], CPAD)
 
     mb = jnp.arange(n_mb, dtype=jnp.int32)
-    mb_y16 = (mb // width_mbs) * 16
+    mb_y16 = (mb // width_mbs + mb_row_offset) * 16
     mb_x16 = (mb % width_mbs) * 16
     mvx = mv[:, 0, 0]
     mvy = mv[:, 0, 1]
@@ -462,7 +468,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
         eref = ref_slot[emb[:, None], blks]      # (cap, 4)
         bx = jnp.asarray(np.tile([0, 4, 8, 12], 4), jnp.int32)
         by = jnp.asarray(np.repeat([0, 4, 8, 12], 4), jnp.int32)
-        e_y16 = ((emb // width_mbs) * 16)[:, None] + by[blks]
+        e_y16 = ((emb // width_mbs + mb_row_offset) * 16)[:, None] + by[blks]
         e_x16 = ((emb % width_mbs) * 16)[:, None] + bx[blks]
         emvx = emv[..., 0]
         emvy = emv[..., 1]

@@ -91,22 +91,50 @@ def _stripe_step(t, dpb_y, dpb_cb, dpb_cr, slot, *, width_mbs, stripe_rows,
 
 
 def _stripe_phases(t, res_l, res_c, dpb_y, dpb_cb, dpb_cr, slot, *,
-                   width_mbs, stripe_rows, n_row, axis):
+                   width_mbs, stripe_rows, n_row, axis, mc_pallas=False,
+                   deblock_pallas=False, used_slots=None, exc_ids=None,
+                   interpret=False):
     """Phases A(MC/combine)/B(intra)/C(deblock) of one stripe, residual
     planes precomputed by the caller (dense path: residual_transform;
-    blob path: residual_planes_sparse)."""
+    blob path: residual_planes_sparse).
+
+    mc_pallas/deblock_pallas put the PRODUCTION Pallas kernels on the
+    stripe phases (ops.pallas_mc with mb_row_offset, ops.pallas_intra on
+    the halo-extended stripe, ops.pallas_deblock_wf on the externally
+    adjusted stripe boundary strengths); the XLA formulations remain the
+    default for non-TPU meshes. mc_pallas additionally needs used_slots
+    (the referenced DPB slots, padded by repetition) and exc_ids (the
+    frame-global quad exception ids) rebased per stripe."""
     pid = lax.axis_index(axis)
     W = width_mbs * 16
     Wc = W // 2
     down = [(i, i + 1) for i in range(n_row - 1)]
+    n_stripe = stripe_rows * width_mbs
 
     mb_class = t["mb_class"].astype(jnp.int32)
 
     # ---- phase A: MC + combine (parallel across stripes) ----
-    pred_y, pred_cb, pred_cr = inter_predict_frame(
-        dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
-        t["ref_slot"].astype(jnp.int32), width_mbs, stripe_rows,
-        mb_row_offset=pid * stripe_rows)
+    if mc_pallas:
+        from ..ops.pallas_mc import mc_predict_grids
+        # rebase the frame-global quad exception ids onto this stripe
+        # (entries outside the stripe become padding)
+        base_q = pid * n_stripe * 4
+        local = exc_ids.astype(jnp.int32) - base_q
+        local = jnp.where((local >= 0) & (local < n_stripe * 4), local,
+                          n_stripe * 4)
+        pred_y, pred_cb, pred_cr = mc_predict_grids(
+            dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+            t["ref_slot"].astype(jnp.int32), local, used_slots,
+            width_mbs, stripe_rows, interpret=interpret,
+            mb_row_offset=pid * stripe_rows)
+        pred_y = pred_y.astype(jnp.int32)
+        pred_cb = pred_cb.astype(jnp.int32)
+        pred_cr = pred_cr.astype(jnp.int32)
+    else:
+        pred_y, pred_cb, pred_cr = inter_predict_frame(
+            dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
+            t["ref_slot"].astype(jnp.int32), width_mbs, stripe_rows,
+            mb_row_offset=pid * stripe_rows)
 
     inter_mask = (mb_class == 1) | (mb_class == 2)
     pcm_mask = mb_class == 5
@@ -146,9 +174,16 @@ def _stripe_phases(t, res_l, res_c, dpb_y, dpb_cb, dpb_cr, slot, *,
             jnp.zeros((Wc,), jnp.uint8))
     def _intra_active(args):
         ye, cbe, cre, h = args
-        return intra_pass(
-            ye.at[15].set(h[0]), cbe.at[7].set(h[1]), cre.at[7].set(h[2]),
-            i_class, i4m, i4a, mba, i16, cmode, rl_e, rc_e, width_mbs)
+        planes = (ye.at[15].set(h[0]), cbe.at[7].set(h[1]),
+                  cre.at[7].set(h[2]))
+        if deblock_pallas:
+            from ..ops.pallas_intra import intra_pass_pallas
+            return intra_pass_pallas(
+                *planes, i_class, i4m, i4a, mba, i16, cmode, rl_e, rc_e,
+                width_mbs, stripe_rows + 1, intra_ids=None,
+                interpret=interpret)
+        return intra_pass(*planes, i_class, i4m, i4a, mba, i16, cmode,
+                          rl_e, rc_e, width_mbs)
 
     for k in range(n_row):
         # only the active stripe runs the pass (lax.cond, not a masked
@@ -205,11 +240,19 @@ def _stripe_phases(t, res_l, res_c, dpb_y, dpb_cb, dpb_cr, slot, *,
              jnp.zeros((1, Wc), jnp.uint8))
     def _deblock_active(args):
         ye, cbe, cre, _patch, h4 = args
-        y2, cb2, cr2 = deblock_frame_with_bs(
-            lax.dynamic_update_slice(ye, h4[0], (12, 0)),
-            lax.dynamic_update_slice(cbe, h4[1], (6, 0)),
-            lax.dynamic_update_slice(cre, h4[2], (6, 0)),
-            bs_left, bs_top, l_thr, c_thr, width_mbs, stripe_rows + 1)
+        planes = (lax.dynamic_update_slice(ye, h4[0], (12, 0)),
+                  lax.dynamic_update_slice(cbe, h4[1], (6, 0)),
+                  lax.dynamic_update_slice(cre, h4[2], (6, 0)))
+        if deblock_pallas:
+            from ..ops.pallas_deblock_wf import \
+                deblock_frame_wavefront_from_bs
+            y2, cb2, cr2 = deblock_frame_wavefront_from_bs(
+                *planes, bs_left, bs_top, *l_thr, *c_thr, width_mbs,
+                stripe_rows + 1, interpret=interpret)
+        else:
+            y2, cb2, cr2 = deblock_frame_with_bs(
+                *planes, bs_left, bs_top, l_thr, c_thr, width_mbs,
+                stripe_rows + 1)
         # rows the boundary filter wrote INTO the halo (stripe k-1's
         # bottom 3 luma / 1 chroma rows)
         return y2, cb2, cr2, (y2[13:16], cb2[7:8], cr2[7:8])
@@ -269,7 +312,9 @@ def make_row_sharded_step(mesh, axis, width_mbs, height_mbs):
     return jax.jit(fn)
 
 
-def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
+def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps,
+                               mc_pallas=False, deblock_pallas=False,
+                               interpret=False):
     """Row-sharded step that consumes the PRODUCTION transfer format: the
     single tier-padded blob built by the C++ front-end (the same buffer
     the single-chip fast path ships — FrameTensors::build_blob), unpacked
@@ -282,14 +327,18 @@ def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
     Unpack and the (sparse, few-percent-density) residual transform run
     replicated on every device — they are a rounding error next to the
     pixel phases; each device then slices its stripe of the per-MB
-    tensors. The Pallas MC/deblock kernels stay single-chip for now
-    (their window/wavefront indexing assumes whole frames); the stripe
-    phases use the XLA paths, which are bit-exact with the kernels by
+    tensors. With mc_pallas/deblock_pallas the stripe phases run the
+    PRODUCTION Pallas kernels (per-stripe variants: MC with
+    mb_row_offset, intra on the halo-extended stripe, deblock on the
+    externally adjusted stripe boundary strengths); the XLA paths remain
+    the default for non-TPU meshes and are bit-exact with the kernels by
     tests/test_pallas*.
 
-    Returns fn(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot)
-    -> new replicated DPB. Bit-exactness vs the single-chip fast step is
-    pinned by tests/test_rowshard.py::test_rowshard_blob_step.
+    Returns fn(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot,
+    used_slots) -> new replicated DPB (used_slots: the referenced DPB
+    slots, padded by repetition — Decoder._prepare's used_slots; only
+    consumed by the Pallas MC). Bit-exactness vs the single-chip fast
+    step is pinned by tests/test_rowshard.py::test_rowshard_blob_step.
     """
     n_row = mesh.shape[axis]
     if height_mbs % n_row:
@@ -299,7 +348,8 @@ def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
     n_mbs = width_mbs * height_mbs
     n_stripe = stripe_rows * width_mbs
 
-    def body(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot):
+    def body(blob, pcm_y, pcm_cb, pcm_cr, dpb_y, dpb_cb, dpb_cr, slot,
+             used_slots):
         from ..ops.transform import residual_planes_sparse
         from ..ops.unpack import unpack_blob, unpack_meta
 
@@ -323,10 +373,12 @@ def make_row_sharded_blob_step(mesh, axis, width_mbs, height_mbs, caps):
         return _stripe_phases(
             t, cut(rl_full), cut(rc_full), dpb_y, dpb_cb, dpb_cr, slot,
             width_mbs=width_mbs, stripe_rows=stripe_rows, n_row=n_row,
-            axis=axis)
+            axis=axis, mc_pallas=mc_pallas,
+            deblock_pallas=deblock_pallas, used_slots=used_slots,
+            exc_ids=eids.reshape(-1), interpret=interpret)
 
     rep = P()
-    fn = shard_map(body, mesh=mesh, in_specs=(rep,) * 8,
+    fn = shard_map(body, mesh=mesh, in_specs=(rep,) * 9,
                    out_specs=(rep, rep, rep), check_vma=False)
     return jax.jit(fn)
 

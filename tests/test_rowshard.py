@@ -129,15 +129,20 @@ def _blob_preps(data):
     dec.close()
 
 
+@pytest.mark.parametrize("kernels", [False, True])
 @pytest.mark.parametrize("n_row", [2, 4])
 @pytest.mark.parametrize("name", ["conformance_8x8", "intra_stress"])
-def test_rowshard_blob_step(name, n_row):
+def test_rowshard_blob_step(name, n_row, kernels):
     """The blob-consuming sharded step (production transfer format +
     device unpack + sparse residual) must equal the single-chip fast
-    step byte-for-byte."""
+    step byte-for-byte — on the XLA stripe phases AND on the production
+    Pallas kernels (interpret mode on the CPU mesh)."""
     from h264bsd_tpu.models.decoder import _decode_step
     from h264bsd_tpu.parallel.rowshard import make_row_sharded_blob_step
 
+    if kernels and n_row == 4:
+        pytest.skip("kernel parity covered at 2 shards (interpret mode "
+                    "is slow; the collective pattern is identical)")
     data = STREAMS[name]()
     mesh = Mesh(np.array(jax.devices()[:n_row]), ("row",))
     single = sharded = None
@@ -167,8 +172,11 @@ def test_rowshard_blob_step(name, n_row):
             jnp.asarray(prep["used_slots"]), False, False)
         if prep["caps"] not in steps:
             steps[prep["caps"]] = make_row_sharded_blob_step(
-                mesh, "row", w_mbs, h_mbs, prep["caps"])
-        sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot)
+                mesh, "row", w_mbs, h_mbs, prep["caps"],
+                mc_pallas=kernels, deblock_pallas=kernels,
+                interpret=kernels)
+        sharded = steps[prep["caps"]](
+            blob, *pcm, *sharded, slot, jnp.asarray(prep["used_slots"]))
         for p in range(3):
             a = np.asarray(single[p][pi["slot"]])
             b = np.asarray(sharded[p][pi["slot"]])

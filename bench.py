@@ -79,18 +79,23 @@ def enable_compile_cache() -> None:
         pass
 
 
-def measure_reference_fps(stream: str, frames: int) -> float:
+def measure_reference_fps(stream: str, frames: int):
+    """(best, median, all_fps) of >= 5 reference runs: the scalar-C
+    baseline spreads 120-145 fps run-to-run on this shared host, so a
+    vs_baseline near 1.0 must be judged against the spread, not a single
+    draw (round-3 verdict)."""
+    import statistics
     import subprocess
     from h264bsd_tpu.utils.golden import reference_binary, stream_path
 
     binary = reference_binary()
-    best = float("inf")
-    for _ in range(3):
+    fps = []
+    for _ in range(5):
         t0 = time.perf_counter()
         subprocess.run([str(binary), str(stream_path(stream))], check=True,
                        capture_output=True)
-        best = min(best, time.perf_counter() - t0)
-    return frames / best
+        fps.append(frames / (time.perf_counter() - t0))
+    return max(fps), statistics.median(fps), [round(f, 1) for f in fps]
 
 
 def warm_up_transfer() -> None:
@@ -115,8 +120,12 @@ def main() -> None:
     log("enabling compile cache + opening transfer path")
     enable_compile_cache()
     warm_up_transfer()
-    ref_fps = measure_reference_fps(stream, n_frames)
-    log(f"reference scalar-C fps on this host CPU: {ref_fps:.2f}")
+    ref_fps, ref_median, ref_all = measure_reference_fps(stream, n_frames)
+    RESULT["ref_fps_best"] = round(ref_fps, 2)
+    RESULT["ref_fps_median"] = round(ref_median, 2)
+    RESULT["ref_fps_runs"] = ref_all
+    log(f"reference scalar-C fps on this host CPU: best {ref_fps:.2f}, "
+        f"median {ref_median:.2f}, runs {ref_all}")
 
     import numpy as np
     import jax
@@ -195,6 +204,7 @@ def main() -> None:
         RESULT["value"] = round(n / best, 2)
         RESULT["vs_baseline"] = round(n / best / ref_fps, 3) \
             if ref_fps else 0.0
+        RESULT.setdefault("decoder_fps_runs", []).append(round(n / dt, 1))
         log(f"timed rep {reps}: {n} frames in {dt:.2f}s = {n / dt:.1f} fps "
             f"(best {n / best:.1f})")
 

@@ -74,11 +74,14 @@ SM = 3 * G
 
 # Edge-activity skip (lax.cond around inner-edge filter math + the
 # chroma section, driven by a per-group 12-bit mask in smeta col 3G+3).
-# MEASURED SLOWER on v5e for the bundled 1080p stream (70.8 vs 77.7 fps
-# e2e): the scalar branches break Mosaic's software pipeline across
-# groups, costing more than the skipped VPU math saves. Kept behind an
-# env flag for future hardware/compiler revisions; default off.
-EDGE_SKIP = _os.environ.get("H264TPU_DEBLOCK_SKIP", "0") == "1"
+# At the original G=4 this measured SLOWER on v5e (70.8 vs 77.7 fps
+# e2e: the scalar branches broke Mosaic's software pipeline across
+# groups); at G=8 the branch cost amortizes over twice the vector work
+# and P-frame deblock drops 3.15 -> 2.82 ms (I frames +0.1 ms — every
+# edge is active, the branches only cost). Default ON since P frames
+# dominate every real stream; H264TPU_DEBLOCK_SKIP=0 restores the
+# unconditional kernel.
+EDGE_SKIP = _os.environ.get("H264TPU_DEBLOCK_SKIP", "1") == "1"
 
 
 def _round128(x):

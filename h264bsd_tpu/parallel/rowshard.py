@@ -33,13 +33,23 @@ raster decode order — but every stripe's phase-A work (the bulk of the
 FLOPs) runs concurrently, and in phases B/C only the ACTIVE stripe
 computes at each pipeline step (lax.cond; the others wait at the halo
 collective), so per-frame intra/deblock compute is one stripe pass per
-device rather than n_row masked full passes. Cross-frame wavefront
-overlap of the B/C pipelines (stripe k of frame f concurrent with
-stripe k+1 of frame f-1) is NOT implemented; a frame's pipeline phases
-still cost n_row sequential stripe passes of wall-clock. The step's
-output frame is assembled from the stripe results by an all_gather
-along the axis (the DPB handoff collective) and stored into every
-device's DPB replica.
+device rather than n_row masked full passes.
+
+MEASURED LIMIT (round 4, pinned-core methodology — SCALING_r04.json):
+this axis is LATENCY-BOUND BY DESIGN. With host compute scaled 1:1 with
+the device count, per-frame efficiency is 0.36 at 2 shards and 0.13 at
+4: the B/C pipelines cost n_row sequential stripe passes of wall clock
+per frame, and at the bench's small frames phase A is a minority of the
+step. Cross-frame wavefront overlap (stripe k of frame f concurrent
+with stripe k+1 of frame f-1 — legal because vertical MV reach is
+bounded by ~8 MB rows, less than a stripe) would recover throughput but
+turns the step into a multi-frame pipelined scan with per-stripe DPB
+row propagation; it is NOT implemented. Use this axis when a single
+stream's frame LATENCY or per-device memory is the constraint, and the
+gop/multistream axes (0.84-0.90+ efficiency, same artifact) for
+throughput scaling. The step's output frame is assembled from the
+stripe results by an all_gather along the axis (the DPB handoff
+collective) and stored into every device's DPB replica.
 
 Bit-exactness vs the single-device step is pinned by
 tests/test_rowshard.py on a virtual CPU mesh.

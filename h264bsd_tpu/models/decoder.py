@@ -537,15 +537,21 @@ class Decoder:
                             None)
             self._dpb = _deblock_store_step(
                 jnp.asarray(yn), jnp.asarray(cbn), jnp.asarray(crn), blob,
-                y, cb, cr, jnp.int32(info["slot"]), prep["w_mbs"],
+                y, cb, cr, np.int32(info["slot"]), prep["w_mbs"],
                 prep["h_mbs"], prep["caps"], prep["deblock_pallas"])
         else:
+            # host numpy scalars, NOT jnp wraps: jnp.int32(x) runs a
+            # tiny convert_element_type program on the DEVICE — three
+            # of them per frame occupied ~1.6 ms/frame of device time
+            # at 1080p (each mini-program costs ~0.5 ms of occupancy on
+            # the tunneled runtime); np scalars reach the step as plain
+            # transfers
             self._dpb = _decode_step(
                 blob, y, cb, cr, *pcm,
-                jnp.int32(info["slot"]), jnp.bool_(info["conceal_from_ref"]),
-                jnp.int32(info["conceal_ref_slot"]), prep["w_mbs"],
+                np.int32(info["slot"]), np.bool_(info["conceal_from_ref"]),
+                np.int32(info["conceal_ref_slot"]), prep["w_mbs"],
                 prep["h_mbs"], prep["caps"], prep["wavefront"],
-                jnp.asarray(prep["used_slots"]), prep["mc_pallas"],
+                prep["used_slots"], prep["mc_pallas"],
                 prep["deblock_pallas"])
 
     def _windowable(self, prep) -> bool:
@@ -607,10 +613,9 @@ class Decoder:
         used = np.stack([p["used_slots"] for p in preps])
         y, cb, cr = self._dpb
         self._dpb, stack = _decode_window_step(
-            jnp.asarray(blobs), y, cb, cr, *self._zero_pcm,
-            jnp.asarray(slots), jnp.asarray(cfr), jnp.asarray(crs),
+            blobs, y, cb, cr, *self._zero_pcm, slots, cfr, crs,
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
-            preps[0]["wavefront"], jnp.asarray(used),
+            preps[0]["wavefront"], used,
             preps[0]["mc_pallas"], preps[0]["deblock_pallas"])
         return stack
 

@@ -60,9 +60,14 @@ def _dequant_scales(qp):
     return per_pos << (qp // 6)[:, None]
 
 
-def idct4x4(d):
-    """H.264 integer inverse transform on raster-ordered (…, 16) int32 blocks
-    including the final (x+32)>>6 rounding (reference transform.c:157-190)."""
+def idct_butterflies(d):
+    """The LINEAR part of the H.264 integer inverse transform on
+    raster-ordered (…, 16) int32 blocks — butterflies only, WITHOUT the
+    final (x+32)>>6 rounding (reference transform.c:157-186). Linear in
+    the coefficients, and a DC-only input spreads to a constant block:
+    butterflies(DC·e0) == DC at all 16 positions — which lets callers
+    add an externally transformed DC AFTER the per-entry butterflies
+    and round once, densely (residual_planes_sparse)."""
     d = d.reshape(d.shape[:-1] + (4, 4))
     # horizontal butterflies
     t0 = d[..., 0] + d[..., 2]
@@ -76,8 +81,13 @@ def idct4x4(d):
     t2 = (d[..., 1, :] >> 1) - d[..., 3, :]
     t3 = d[..., 1, :] + (d[..., 3, :] >> 1)
     d = jnp.stack([t0 + t3, t1 + t2, t1 - t2, t0 - t3], axis=-2)
-    d = (d + 32) >> 6
     return d.reshape(d.shape[:-2] + (16,))
+
+
+def idct4x4(d):
+    """H.264 integer inverse transform on raster-ordered (…, 16) int32 blocks
+    including the final (x+32)>>6 rounding (reference transform.c:157-190)."""
+    return (idct_butterflies(d) + 32) >> 6
 
 
 def luma_dc_transform(dc, qp):
@@ -234,32 +244,29 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     cdc = jnp.where(has_cdc[:, None],
                     chroma_dc_transform(cdc_raw, chroma_qp), cdc_raw)
 
-    # per-entry dequant + DC injection + IDCT (AC entries only; DC
-    # entries compute garbage and are dropped by the scatter id below)
+    # per-entry dequant + LINEAR butterflies (AC entries only; DC
+    # entries compute garbage and are dropped by the scatter id below).
+    # The externally transformed DC is NOT injected per entry: the
+    # butterflies are linear in the DC slot (idct_butterflies docstring),
+    # so the DC term adds DENSELY after the scatter and the (x+32)>>6
+    # rounding happens once — this removes three per-entry row gathers
+    # (ldc/cdc take_along_axis + the inject selects, ~0.3 ms/frame at
+    # 1080p) and makes the empty-block DC-only base the same formula
+    # (scattered butterflies are zero there).
     is_luma = b < 16
     qp_e = jnp.where(is_luma, qp_y[mb], chroma_qp[mb])
     scales = _dequant_scales(qp_e)                       # (cap, 16)
     d = sparse_levels.astype(jnp.int32) * scales
-    luma_dc_val = jnp.take_along_axis(
-        ldc[mb], jnp.minimum(b, 15)[:, None], axis=1)[:, 0]
-    chroma_dc_val = jnp.take_along_axis(
-        cdc[mb], jnp.clip(b - 16, 0, 7)[:, None], axis=1)[:, 0]
-    inject = jnp.where(is_luma, is_i16[mb] != 0, True)
-    dc0 = jnp.where(is_luma, luma_dc_val, chroma_dc_val)
-    d = d.at[:, 0].set(jnp.where(inject, dc0, d[:, 0]))
-    res_e = idct4x4(d)                                   # (cap, 16)
+    # blocks whose DC arrives via the external DC path carry level 0 in
+    # slot 0 by construction (the AC scan skips it); zero it anyway for
+    # non-injected garbage entries' safety
+    bf_e = idct_butterflies(d)                           # (cap, 16)
 
-    # DC-only base per block, merged LAZILY under the scatter's presence
-    # mask (scattering onto the broadcast base would materialize a full
-    # (nMB*24, 16) copy; scattering onto zeros is a memset and the
-    # where() fuses)
     from .unpack import scatter_present
-    base_l = jnp.where(is_i16[:, None] != 0,
-                       (ldc + 32) >> 6, 0)               # (nMB, 16)
-    base_c = (cdc + 32) >> 6                             # (nMB, 8)
-    base = jnp.concatenate([base_l, base_c], axis=1)     # (nMB, 24)
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
-    buf, pres = scatter_present(scatter_id, res_e, n_mb * 24, jnp.int32)
-    residual = jnp.where(pres.reshape(n_mb, 24, 1),
-                         buf.reshape(n_mb, 24, 16), base[:, :, None])
+    buf, _ = scatter_present(scatter_id, bf_e, n_mb * 24, jnp.int32)
+    dc_l = jnp.where(is_i16[:, None] != 0, ldc, 0)       # (nMB, 16)
+    dc = jnp.concatenate([dc_l, cdc], axis=1)            # (nMB, 24)
+    residual = (buf.reshape(n_mb, 24, 16)
+                + dc[:, :, None] + 32) >> 6
     return mb_residual_planes(residual)

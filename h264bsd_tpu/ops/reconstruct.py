@@ -176,15 +176,19 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                   t["mb_avail"].astype(jnp.int32),
                   t["i16_mode"].astype(jnp.int32),
                   t["chroma_mode"].astype(jnp.int32), res_l, res_c)
-    if intra_pallas:
+    if intra_pallas and intra_wavefront:
+        # intra-heavy frames: the wavefront-batched kernel processes G
+        # same-anti-diagonal MBs per step (the raster kernel's 8160
+        # sequential MB bodies cost ~29 ms on a 1080p I frame)
+        from .pallas_intra_wf import intra_pass_wavefront_pallas
+        y, cb, cr = intra_pass_wavefront_pallas(
+            y, cb, cr, *intra_args, width_mbs, height_mbs)
+    elif intra_pallas:
         from .pallas_intra import intra_pass_pallas
         # the sparse intra-MB list bounds the kernel's sequential walk
-        # (dense raster walk only for intra-heavy frames, where the list
-        # covers the grid anyway)
         y, cb, cr = intra_pass_pallas(
             y, cb, cr, *intra_args, width_mbs, height_mbs,
-            intra_ids=None if intra_wavefront
-            else intra_mbs.reshape(-1).astype(jnp.int32))
+            intra_ids=intra_mbs.reshape(-1).astype(jnp.int32))
     elif intra_wavefront:
         y, cb, cr = intra_pass_wavefront(y, cb, cr, *intra_args,
                                          width_mbs, height_mbs)

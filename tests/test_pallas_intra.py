@@ -77,3 +77,12 @@ def test_intra_parity_interpret(seed):
     for w, g, name in zip(want, got_list, "y cb cr".split()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                       "list " + name)
+
+    # the wavefront-batched kernel (intra-heavy frames) must match too
+    from h264bsd_tpu.ops.pallas_intra_wf import intra_pass_wavefront_pallas
+    got_wf = intra_pass_wavefront_pallas(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), *args,
+        w_mbs, h_mbs, interpret=True)
+    for w, g, name in zip(want, got_wf, "y cb cr".split()):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      "wavefront " + name)

@@ -10,10 +10,10 @@ from h264bsd_tpu.ops.intra import intra_pass
 from h264bsd_tpu.ops.pallas_intra import intra_pass_pallas
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_intra_parity_interpret(seed):
+def _gen_case(seed, w_mbs, h_mbs):
+    """Random conformant intra frame state (see mode-conformance notes
+    inline): returns (y, cb, cr, args) for the intra passes."""
     rng = np.random.default_rng(seed)
-    w_mbs, h_mbs = 6, 4
     n = w_mbs * h_mbs
     H, W = h_mbs * 16, w_mbs * 16
     y = rng.integers(0, 255, (H, W), dtype=np.uint8)
@@ -57,6 +57,15 @@ def test_intra_parity_interpret(seed):
             jnp.asarray(i4_avail), jnp.asarray(mb_avail),
             jnp.asarray(i16_mode), jnp.asarray(chroma_mode),
             jnp.asarray(resid_luma), jnp.asarray(resid_chroma))
+    return y, cb, cr, args
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_intra_parity_interpret(seed):
+    w_mbs, h_mbs = 6, 4
+    n = w_mbs * h_mbs
+    y, cb, cr, args = _gen_case(seed, w_mbs, h_mbs)
+    mb_class = np.asarray(args[0])
     want = intra_pass(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
                       *args, w_mbs)
     got = intra_pass_pallas(jnp.asarray(y), jnp.asarray(cb),
@@ -86,3 +95,21 @@ def test_intra_parity_interpret(seed):
     for w, g, name in zip(want, got_wf, "y cb cr".split()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                       "wavefront " + name)
+
+
+@pytest.mark.parametrize("w_mbs,h_mbs", [(12, 9), (16, 3), (5, 11),
+                                         (3, 2), (9, 16)])
+def test_intra_wavefront_geometry_sweep(w_mbs, h_mbs):
+    """Wavefront-kernel parity across geometries that exercise the G=8
+    group machinery: band counts not a multiple of G, single-band
+    frames, tall narrow frames (ramp-dominated wavefronts), and the
+    tiny-frame fallback."""
+    from h264bsd_tpu.ops.pallas_intra_wf import intra_pass_wavefront_pallas
+    y, cb, cr, args = _gen_case(7, w_mbs, h_mbs)
+    want = intra_pass(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                      *args, w_mbs)
+    got = intra_pass_wavefront_pallas(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), *args,
+        w_mbs, h_mbs, interpret=True)
+    for w, g, name in zip(want, got, "y cb cr".split()):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), name)

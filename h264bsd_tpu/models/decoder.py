@@ -31,6 +31,7 @@ MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
                         # referencing more than MC_REF_CAP slots run the
                         # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
+_ROWTILE = os.environ.get("H264TPU_ROWTILE", "1") != "0"
 
 # intra-MB count above which a frame runs the dense anti-diagonal
 # wavefront intra pass instead of the padded-list pass. The list pass
@@ -95,7 +96,8 @@ PARAM_SET_ERROR = fe.PARAM_SET_ERROR
 def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                        slot, conceal_from_ref, conceal_ref_slot, width_mbs,
                        height_mbs, caps, intra_wavefront, used_slots=None,
-                       mc_pallas=False, deblock_pallas=False):
+                       mc_pallas=False, deblock_pallas=False,
+                       luma_rowtile=False, interpret=False):
     """One full frame on device: unpack, reconstruct, conceal, deblock,
     store. ONE host->device buffer per frame (tier-padded blob built by the
     C++ front-end) instead of ~19 dense tensors. Traced both standalone
@@ -110,7 +112,8 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
         used_slots=used_slots, mc_pallas=mc_pallas,
-        intra_pallas=deblock_pallas, slice_ids=slice_ids)
+        intra_pallas=deblock_pallas, slice_ids=slice_ids,
+        luma_rowtile=luma_rowtile, interpret=interpret)
 
     # concealment of lost MBs (mb_class 6). P-type loss copies the
     # co-located MB from the first available reference (ConcealMb
@@ -144,7 +147,10 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     # the wavefront-batched kernel beats the raster kernel on both frame
     # types (P: 6.25 vs 6.58 ms, I: 9.67 vs 14.33 ms at 1080p) since the
     # gather-free map prep landed
-    dblk = deblock_frame_wavefront if deblock_pallas else deblock_frame
+    if deblock_pallas:
+        dblk = partial(deblock_frame_wavefront, interpret=interpret)
+    else:
+        dblk = deblock_frame
     y, cb, cr = dblk(
         y, cb, cr, tensors["mb_class"], tensors["nnz"], tensors["mv"],
         tensors["ref_slot"], tensors["slice_id"], tensors["disable_dblk"],
@@ -159,26 +165,29 @@ def _frame_decode_body(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
                                    "intra_wavefront", "caps", "mc_pallas",
-                                   "deblock_pallas"))
+                                   "deblock_pallas", "luma_rowtile",
+                                   "interpret"))
 def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
                  conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs,
                  caps, intra_wavefront=False, used_slots=None,
-                 mc_pallas=False, deblock_pallas=False):
+                 mc_pallas=False, deblock_pallas=False, luma_rowtile=False,
+                 interpret=False):
     ring, _ = _frame_decode_body(
         blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
         conceal_from_ref, conceal_ref_slot, width_mbs, height_mbs, caps,
-        intra_wavefront, used_slots, mc_pallas, deblock_pallas)
+        intra_wavefront, used_slots, mc_pallas, deblock_pallas,
+        luma_rowtile, interpret)
     return ring
 
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
                                    "intra_wavefront", "caps", "mc_pallas",
-                                   "deblock_pallas"))
+                                   "deblock_pallas", "luma_rowtile"))
 def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                         slots, conceal_from_ref, conceal_ref_slot,
                         width_mbs, height_mbs, caps, intra_wavefront=False,
                         used_slots=None, mc_pallas=False,
-                        deblock_pallas=False):
+                        deblock_pallas=False, luma_rowtile=False):
     """K frames in ONE dispatch: lax.scan of the per-frame body over
     stacked blobs, threading the DPB ring as carry. Amortizes the
     per-dispatch tunnel round trip (the steady-state limiter of the
@@ -204,7 +213,7 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         (dy, dcb, dcr), planes = _frame_decode_body(
             blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
             width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas,
-            deblock_pallas)
+            deblock_pallas, luma_rowtile)
         return (dy, dcb, dcr), planes
 
     (dpb_y, dpb_cb, dpb_cr), stack = jax.lax.scan(
@@ -215,11 +224,11 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
                                    "intra_wavefront", "caps", "mc_pallas",
-                                   "deblock_pallas"))
+                                   "deblock_pallas", "luma_rowtile"))
 def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                      width_mbs, height_mbs, caps, intra_wavefront=False,
                      used_slots=None, mc_pallas=False,
-                     deblock_pallas=False):
+                     deblock_pallas=False, luma_rowtile=False):
     """Error path, stage 1: reconstruct the decoded MBs only (no
     concealment/deblocking) so the exact spiral concealment can run on
     host between the stages."""
@@ -233,7 +242,8 @@ def _recon_only_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
         mv_exc_payload, intra_mbs, intra_payload, pcm_y, pcm_cb, pcm_cr,
         dpb_y, dpb_cb, dpb_cr, width_mbs, height_mbs, intra_wavefront,
         used_slots=used_slots, mc_pallas=mc_pallas,
-        intra_pallas=deblock_pallas, slice_ids=slice_ids)
+        intra_pallas=deblock_pallas, slice_ids=slice_ids,
+        luma_rowtile=luma_rowtile)
     return y, cb, cr
 
 
@@ -472,11 +482,19 @@ class Decoder:
                        if c >= min(len(used), MC_REF_MAX))
         used_slots = np.asarray((used + [used[0]] * cap_len)[:cap_len],
                                 np.int32)
+        # luma rowtile: MC/residual/combine in plane-chunk (nG, 16, 128)
+        # tiles (one major-dim reshape from the plane) — needs the Pallas
+        # MC + list-intra path, groups that never wrap MB rows, and a
+        # single VMEM reference pass (ops.reconstruct docstring)
+        rowtile = (_ROWTILE and mc_pallas and kernels_on
+                   and not wavefront and w_mbs % 8 == 0
+                   and cap_len <= MC_REF_CAP)
         return dict(info=info, w_mbs=w_mbs, h_mbs=h_mbs, n_mbs=n_mbs,
                     blob=blob, caps=caps,
                     wavefront=wavefront, ipcm=ipcm,
                     non_existing=non_existing, mc_pallas=mc_pallas,
-                    deblock_pallas=kernels_on, used_slots=used_slots)
+                    deblock_pallas=kernels_on, used_slots=used_slots,
+                    rowtile=rowtile)
 
     def _submit(self, prep):
         """Device half: transfer the blob and dispatch the frame step."""
@@ -492,16 +510,17 @@ class Decoder:
                          cr.at[slot].set(0))
 
         ipcm_mb, ipcm_data = prep["ipcm"]
+        rowtile = prep["rowtile"]
         if len(ipcm_mb):
-            pcm = build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data)
-            pcm = tuple(jnp.asarray(p) for p in pcm)
+            py, pcb, pcr = build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data)
+            if rowtile:
+                # host-side relayout into the plane-chunk tiles the
+                # rowtile combine consumes (free: numpy, once per frame
+                # with I_PCM content)
+                py = py.reshape(n_mbs // 8, 8, 16, 16)                     .transpose(0, 2, 1, 3).reshape(n_mbs // 8, 16, 128)
+            pcm = tuple(jnp.asarray(p) for p in (py, pcb, pcr))
         else:
-            if (self._zero_pcm is None or
-                    self._zero_pcm[0].shape[0] != n_mbs):
-                self._zero_pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
-                                  jnp.zeros((n_mbs, 8, 8), jnp.uint8),
-                                  jnp.zeros((n_mbs, 8, 8), jnp.uint8))
-            pcm = self._zero_pcm
+            pcm = self._get_zero_pcm(n_mbs, rowtile)
 
         n_conc = info["num_concealed_mbs"]
         partial_loss = 0 < n_conc < n_mbs
@@ -522,7 +541,7 @@ class Decoder:
                 blob, y, cb, cr, *pcm, prep["w_mbs"], prep["h_mbs"],
                 prep["caps"], prep["wavefront"],
                 jnp.asarray(prep["used_slots"]), prep["mc_pallas"],
-                prep["deblock_pallas"])
+                prep["deblock_pallas"], rowtile)
             yn = np.asarray(ry).copy()
             cbn = np.asarray(rcb).copy()
             crn = np.asarray(rcr).copy()
@@ -552,7 +571,7 @@ class Decoder:
                 np.int32(info["conceal_ref_slot"]), prep["w_mbs"],
                 prep["h_mbs"], prep["caps"], prep["wavefront"],
                 prep["used_slots"], prep["mc_pallas"],
-                prep["deblock_pallas"])
+                prep["deblock_pallas"], rowtile)
 
     def _windowable(self, prep) -> bool:
         """True when the frame can join a scanned multi-frame dispatch:
@@ -598,13 +617,20 @@ class Decoder:
             views.append((self._dpb, preps[i]["info"]["slot"]))
         return views
 
+    def _get_zero_pcm(self, n_mbs, rowtile):
+        ly = ((n_mbs // 8, 16, 128) if rowtile else (n_mbs, 16, 16))
+        key = (n_mbs, rowtile)
+        if self._zero_pcm is None or self._zero_pcm[0] != key:
+            self._zero_pcm = (key,
+                              (jnp.zeros(ly, jnp.uint8),
+                               jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+                               jnp.zeros((n_mbs, 8, 8), jnp.uint8)))
+        return self._zero_pcm[1]
+
     def _submit_window_exact(self, preps):
         self._ensure_dpb()
         n_mbs = preps[0]["n_mbs"]
-        if self._zero_pcm is None or self._zero_pcm[0].shape[0] != n_mbs:
-            self._zero_pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
-                              jnp.zeros((n_mbs, 8, 8), jnp.uint8),
-                              jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+        zero_pcm = self._get_zero_pcm(n_mbs, preps[0]["rowtile"])
         blobs = np.stack([p["blob"].view(np.uint32) for p in preps])
         slots = np.array([p["info"]["slot"] for p in preps], np.int32)
         cfr = np.array([bool(p["info"]["conceal_from_ref"]) for p in preps])
@@ -613,10 +639,11 @@ class Decoder:
         used = np.stack([p["used_slots"] for p in preps])
         y, cb, cr = self._dpb
         self._dpb, stack = _decode_window_step(
-            blobs, y, cb, cr, *self._zero_pcm, slots, cfr, crs,
+            blobs, y, cb, cr, *zero_pcm, slots, cfr, crs,
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
             preps[0]["wavefront"], used,
-            preps[0]["mc_pallas"], preps[0]["deblock_pallas"])
+            preps[0]["mc_pallas"], preps[0]["deblock_pallas"],
+            preps[0]["rowtile"])
         return stack
 
     # -- output ------------------------------------------------------------

@@ -196,8 +196,16 @@ def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
             [_scalar_lane_map(fr[0:LGRP], 21, LWIN),
              _scalar_lane_map(fr[LGRP:], 16, LWIN)], axis=0)
         res = _clip8(_select_cases(_luma_cases(pk, 37), sel))
-        out_ref[pl.ds(g2 * 32, 16), :] = res[0:16].astype(jnp.uint8)
-        out_ref[pl.ds(g2 * 32 + 16, 16), :] = res[21:37].astype(jnp.uint8)
+        # compact the two 4-MB halves (32-lane window pitch, low 16
+        # lanes meaningful) into ONE plane-chunk tile: 8 consecutive
+        # MBs at 16-lane pitch — the "rowtile" layout that is a single
+        # major-dim reshape from the plane (int32-domain concats; the
+        # u8 cast happens once on the assembled tile)
+        comp = jnp.concatenate(
+            [h[:, 32 * k:32 * k + 16]
+             for h in (res[0:16], res[21:37]) for k in range(LGRP)],
+            axis=1)
+        out_ref[pl.ds(g2 * 16, 16), :] = comp.astype(jnp.uint8)
         return 0
 
     lax.fori_loop(0, GU // (2 * LGRP), pair, 0, unroll=True)
@@ -367,7 +375,7 @@ REF_GROUP = 4   # DPB slots whose padded planes fit VMEM per kernel pass
 
 def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
                      used_slots, width_mbs, height_mbs, interpret=False,
-                     mb_row_offset=0):
+                     mb_row_offset=0, luma_rowtile=False):
     """Motion compensation for the whole frame on TPU via Pallas.
 
     mv: (nMB, 16, 2) int32 quarter-pel; ref_slot: (nMB, 16) int32;
@@ -387,7 +395,11 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     if n_groups <= 1:
         return _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot,
                                  exc_ids, used_slots, width_mbs,
-                                 height_mbs, interpret, mb_row_offset)
+                                 height_mbs, interpret, mb_row_offset,
+                                 luma_rowtile)
+    if luma_rowtile:
+        raise ValueError("luma_rowtile needs a single REF_GROUP pass "
+                         "(used_slots cap <= %d)" % REF_GROUP)
     out = None
     for g in range(n_groups):
         grp = used_slots[g * REF_GROUP:(g + 1) * REF_GROUP]
@@ -411,7 +423,7 @@ def mc_predict_grids(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
 
 def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
                       used_slots, width_mbs, height_mbs, interpret=False,
-                      mb_row_offset=0):
+                      mb_row_offset=0, luma_rowtile=False):
     """One kernel pass over <= REF_GROUP resident reference slots.
 
     mb_row_offset shifts MB rows for row-sharded stripes: the mv/exc
@@ -444,11 +456,18 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     meta_p = jnp.pad(meta, ((0, n_steps * GU - n_mb), (0, 0)))
 
     uy = _run(partial(_uniform_luma_kernel, n_mbs=n_mb), meta_p, [refs_y],
-              1, (GU // LGRP) * 16, GU, interpret)
+              1, (GU // 8) * 16, GU, interpret)
     ucb, ucr = _run(partial(_uniform_chroma_kernel, n_mbs=n_mb), meta_p,
                     [refs_cb, refs_cr], 2, (GU // CGRP) * 8, GU, interpret)
 
-    grid_y = _tiles_to_grid(uy, LGRP, LWIN, 16)[:n_mb]
+    # the luma kernel emits rowtile tiles (8 consecutive MBs at 16-lane
+    # pitch); with luma_rowtile they pass through untouched and the
+    # caller combines/stores in that layout
+    n_g8 = -(-n_mb // 8)
+    uy_rt = uy.reshape(-1, 16, 128)[:n_g8]
+    if not luma_rowtile:
+        grid_y = uy_rt.reshape(n_g8, 16, 8, 16) \
+            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 16, 16)[:n_mb]
     grid_cb = _tiles_to_grid(ucb, CGRP, CWIN, 8)[:n_mb]
     grid_cr = _tiles_to_grid(ucr, CGRP, CWIN, 8)[:n_mb]
 
@@ -529,10 +548,38 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             mask = jnp.repeat(jnp.repeat(qpresent, s2, axis=1), s2, axis=2)
             return jnp.where(mask, tile, grid)
 
+        if luma_rowtile:
+            # rowtile: luma quads land as (8, 8) pixel windows straight
+            # in the plane-chunk layout (disjoint windows: one entry per
+            # quad; padding entries go to distinct spare cells)
+            from .unpack import scatter_windows
+            quads_y = blocks_to_quads(ey, CWIN, 4)        # (cap, 8, 8)
+            valid_q = exc_ids < n_mb * 4
+            rows0 = (emb // 8) * 16 + (equad // 2) * 8
+            cols0 = (emb % 8) * 16 + (equad % 2) * 8
+            i = jnp.arange(exc_cap, dtype=jnp.int32)
+            idx = jnp.stack(
+                [jnp.where(valid_q, rows0, n_g8 * 16 + (i // 16) * 8),
+                 jnp.where(valid_q, cols0, (i % 16) * 8)], axis=1)
+            spare = 8 * -(-exc_cap // 16)
+            shp = (n_g8 * 16 + spare, 128)
+            qbuf = scatter_windows(jnp.zeros(shp, jnp.uint8), idx,
+                                   quads_y)
+            qpres = scatter_windows(jnp.zeros(shp, jnp.bool_), idx,
+                                    jnp.ones((exc_cap, 8, 8), jnp.bool_))
+            uy_rt = jnp.where(qpres[:n_g8 * 16].reshape(n_g8, 16, 128),
+                              qbuf[:n_g8 * 16].reshape(n_g8, 16, 128),
+                              uy_rt)
+            grid_cb = quad_merge(grid_cb, blocks_to_quads(ecb, 8, 2), 2)
+            grid_cr = quad_merge(grid_cr, blocks_to_quads(ecr, 8, 2), 2)
+            return uy_rt, grid_cb, grid_cr
+
         grid_y = quad_merge(grid_y, blocks_to_quads(ey, CWIN, 4), 4)
         grid_cb = quad_merge(grid_cb, blocks_to_quads(ecb, 8, 2), 2)
         grid_cr = quad_merge(grid_cr, blocks_to_quads(ecr, 8, 2), 2)
 
+    if luma_rowtile:
+        return uy_rt, grid_cb, grid_cr
     return grid_y, grid_cb, grid_cr
 
 

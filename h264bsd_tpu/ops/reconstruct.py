@@ -105,14 +105,16 @@ def build_pcm_tensors(n_mbs, ipcm_mb, ipcm_data):
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
                                    "intra_wavefront", "mc_pallas",
-                                   "intra_pallas"))
+                                   "intra_pallas", "luma_rowtile",
+                                   "interpret"))
 def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
                            mv_exc_ids, mv_exc_payload, intra_mbs,
                            intra_payload, pcm_y, pcm_cb, pcm_cr,
                            dpb_y, dpb_cb, dpb_cr,
                            width_mbs, height_mbs, intra_wavefront=False,
                            used_slots=None, mc_pallas=False,
-                           intra_pallas=False, slice_ids=None):
+                           intra_pallas=False, slice_ids=None,
+                           luma_rowtile=False, interpret=False):
     """Transfer-optimized variant: unpack the single metadata buffer and the
     sparse residual stream on device, then run the same phase passes. The
     intra stage either iterates the (padded) intra-MB list (sparse intra,
@@ -124,6 +126,12 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
     from .intra import intra_pass_list, intra_pass_wavefront
     from .transform import residual_planes_sparse
     from .unpack import unpack_meta
+
+    if luma_rowtile and not (mc_pallas and intra_pallas
+                             and not intra_wavefront
+                             and width_mbs % 8 == 0):
+        raise ValueError("luma_rowtile requires the Pallas MC + list-"
+                         "intra path and width_mbs % 8 == 0")
 
     n_mb = width_mbs * height_mbs
     t = unpack_meta(packed, slice_table, mv_exc_ids, mv_exc_payload,
@@ -138,7 +146,8 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
         sparse_ids.reshape(-1).astype(jnp.int32),
         sparse_levels.astype(jnp.int32), t["qp_y"].astype(jnp.int32),
         t["chroma_qp_offset"].astype(jnp.int32),
-        t["nnz_dc"].astype(jnp.int32), mb_class == 4, n_mb)
+        t["nnz_dc"].astype(jnp.int32), mb_class == 4, n_mb,
+        luma_rowtile=luma_rowtile)
 
     if mc_pallas:
         from .pallas_mc import mc_predict_grids
@@ -146,7 +155,8 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
             dpb_y, dpb_cb, dpb_cr, t["mv"].astype(jnp.int32),
             t["ref_slot"].astype(jnp.int32),
             mv_exc_ids.reshape(-1).astype(jnp.int32), used_slots,
-            width_mbs, height_mbs)
+            width_mbs, height_mbs, interpret=interpret,
+            luma_rowtile=luma_rowtile)
         pred_y = pred_y.astype(jnp.int32)
         pred_cb = pred_cb.astype(jnp.int32)
         pred_cr = pred_cr.astype(jnp.int32)
@@ -157,17 +167,36 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
 
     inter_mask = (mb_class == 1) | (mb_class == 2)
     pcm_mask = mb_class == 5
-    mb_y = jnp.where(inter_mask[:, None, None],
-                     jnp.clip(pred_y + res_l, 0, 255), 0).astype(jnp.uint8)
+    if luma_rowtile:
+        # luma combine in rowtile layout: per-MB masks become 16-lane
+        # bands, clip+merge runs on the plane-chunk tiles, and ONE
+        # major-dim reshape (no minor-dim relayout at all) yields the
+        # plane. pcm_y arrives pre-laid-out in rowtile by the caller.
+        n_g8 = n_mb // 8
+        inter_l = jnp.repeat(inter_mask.reshape(n_g8, 8), 16,
+                             axis=1)[:, None, :]
+        pcm_l = jnp.repeat(pcm_mask.reshape(n_g8, 8), 16,
+                           axis=1)[:, None, :]
+        y_rt = jnp.where(inter_l,
+                         jnp.clip(pred_y + res_l, 0, 255),
+                         0).astype(jnp.uint8)
+        y_rt = jnp.where(pcm_l, pcm_y, y_rt)
+        y = y_rt.reshape(height_mbs, width_mbs // 8, 16, 128) \
+            .transpose(0, 2, 1, 3) \
+            .reshape(height_mbs * 16, width_mbs * 16)
+    else:
+        mb_y = jnp.where(inter_mask[:, None, None],
+                         jnp.clip(pred_y + res_l, 0, 255),
+                         0).astype(jnp.uint8)
+        mb_y = jnp.where(pcm_mask[:, None, None], pcm_y, mb_y)
+        y = mb_grid_to_plane(mb_y, width_mbs, height_mbs)
     mb_cb = jnp.where(inter_mask[:, None, None],
                       jnp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
     mb_cr = jnp.where(inter_mask[:, None, None],
                       jnp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
-    mb_y = jnp.where(pcm_mask[:, None, None], pcm_y, mb_y)
     mb_cb = jnp.where(pcm_mask[:, None, None], pcm_cb, mb_cb)
     mb_cr = jnp.where(pcm_mask[:, None, None], pcm_cr, mb_cr)
 
-    y = mb_grid_to_plane(mb_y, width_mbs, height_mbs)
     cb = mb_grid_to_plane(mb_cb.astype(jnp.uint8), width_mbs, height_mbs)
     cr = mb_grid_to_plane(mb_cr.astype(jnp.uint8), width_mbs, height_mbs)
 
@@ -182,12 +211,14 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
         # sequential MB bodies cost ~29 ms on a 1080p I frame)
         from .pallas_intra_wf import intra_pass_wavefront_pallas
         y, cb, cr = intra_pass_wavefront_pallas(
-            y, cb, cr, *intra_args, width_mbs, height_mbs)
+            y, cb, cr, *intra_args, width_mbs, height_mbs,
+            interpret=interpret)
     elif intra_pallas:
         from .pallas_intra import intra_pass_pallas
         # the sparse intra-MB list bounds the kernel's sequential walk
         y, cb, cr = intra_pass_pallas(
             y, cb, cr, *intra_args, width_mbs, height_mbs,
+            interpret=interpret,
             intra_ids=intra_mbs.reshape(-1).astype(jnp.int32))
     elif intra_wavefront:
         y, cb, cr = intra_pass_wavefront(y, cb, cr, *intra_args,

@@ -201,7 +201,8 @@ def mb_residual_planes(residual):
 
 
 def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
-                           chroma_qp_offset, nnz_dc, is_i16, n_mb):
+                           chroma_qp_offset, nnz_dc, is_i16, n_mb,
+                           luma_rowtile=False):
     """Sparse-domain ProcessResidual: dequant+IDCT only the non-empty
     blocks (a few percent of the frame) instead of the dense
     (nMB, 24, 16) array, then scatter pixel-domain residuals.
@@ -263,9 +264,47 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     bf_e = idct_butterflies(d)                           # (cap, 16)
 
     from .unpack import scatter_present
+    dc_l = jnp.where(is_i16[:, None] != 0, ldc, 0)       # (nMB, 16)
+
+    if luma_rowtile:
+        # luma in plane-chunk "rowtile" layout (nG, 16, 128): group g =
+        # MBs [8g, 8g+8), MB m's pixel (r, c) at [g, r, 16m + c] — the
+        # layout the Pallas MC kernel emits and one major-dim reshape
+        # from the plane itself. The butterflied 4x4 blocks scatter as
+        # (4, 4) windows straight at their pixel positions, so the
+        # block->pixel minor-dim relayout (mb_residual_planes) never
+        # happens. Caller guarantees n_mb % 8 == 0.
+        from .unpack import scatter_windows
+        n_g8 = n_mb // 8
+        is_lac = valid & (b < 16)
+        rows0 = (mb // 8) * 16 + (b // 4) * 4
+        cols0 = (mb % 8) * 16 + (b % 4) * 4
+        i = jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.stack(
+            [jnp.where(is_lac, rows0, n_g8 * 16 + (i // 32) * 4),
+             jnp.where(is_lac, cols0, (i % 32) * 4)], axis=1)
+        spare = 4 * -(-cap // 32)
+        lbuf = scatter_windows(
+            jnp.zeros((n_g8 * 16 + spare, 128), jnp.int32), idx,
+            bf_e.reshape(cap, 4, 4))
+        # DC lane map: dc_l[8g+m, 4*by+bx] broadcast over its 4x4 patch
+        dcrt = jnp.repeat(dc_l.reshape(n_g8, 8, 4, 4)
+                          .transpose(0, 2, 1, 3), 4, axis=3)
+        dcrt = jnp.repeat(dcrt.reshape(n_g8, 4, 128), 4, axis=1)
+        res_l = (lbuf[:n_g8 * 16].reshape(n_g8, 16, 128) + dcrt + 32) >> 6
+        # chroma stays on the block-row scatter + pixel relayout (its
+        # plane-chunk rows would need 16 consecutive MBs, which wraps
+        # rows whenever width_mbs % 16 != 0 — e.g. 1080p's 120)
+        is_cac = valid & (b >= 16) & (b < 24)
+        cid = jnp.where(is_cac, mb * 8 + (b - 16), n_mb * 8)
+        cbuf, _ = scatter_present(cid, bf_e, n_mb * 8, jnp.int32)
+        cres = (cbuf.reshape(n_mb, 8, 16) + cdc[:, :, None] + 32) >> 6
+        res_c = cres.reshape(n_mb, 2, 2, 2, 4, 4) \
+            .transpose(0, 1, 2, 4, 3, 5).reshape(n_mb, 2, 8, 8)
+        return res_l, res_c
+
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
     buf, _ = scatter_present(scatter_id, bf_e, n_mb * 24, jnp.int32)
-    dc_l = jnp.where(is_i16[:, None] != 0, ldc, 0)       # (nMB, 16)
     dc = jnp.concatenate([dc_l, cdc], axis=1)            # (nMB, 24)
     residual = (buf.reshape(n_mb, 24, 16)
                 + dc[:, :, None] + 32) >> 6

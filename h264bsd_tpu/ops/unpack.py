@@ -45,6 +45,22 @@ def scatter_unique(base_rows, ids, updates, n_rows):
                             unique_indices=True)[:n_rows]
 
 
+def scatter_windows(operand, starts, updates):
+    """Scatter 2D update windows into a 2D operand at per-entry (row,
+    col) starts. updates (cap, wr, wc); starts (cap, 2) int32, each
+    window fully in bounds and DISJOINT (unique_indices contract) —
+    callers route padding entries to distinct spare cells the way
+    scatter_unique does. Used by the luma rowtile layout (plane-chunk
+    (nG, 16, 128) tiles), where residual 4x4 blocks and MC exception
+    8x8 quads land at pixel positions instead of block rows."""
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    return lax.scatter(operand, starts.astype(jnp.int32),
+                       updates.astype(operand.dtype), dnums,
+                       indices_are_sorted=False, unique_indices=True)
+
+
 def scatter_present(ids, updates, n_rows, dtype=None):
     """Scatter rows into a ZEROS buffer and return (buf, present):
     buf[(n_rows,) + row shape] with updates at their ids, present

@@ -102,3 +102,37 @@ def test_mc_multigroup_parity_interpret():
     np.testing.assert_array_equal(np.asarray(got_y), want_y)
     np.testing.assert_array_equal(np.asarray(got_cb), want_cb)
     np.testing.assert_array_equal(np.asarray(got_cr), want_cr)
+
+
+def test_mc_luma_rowtile_interpret():
+    """luma_rowtile returns luma in plane-chunk layout (nG, 16, 128):
+    one major-dim reshape must reproduce the plane, exception quads
+    included (width_mbs % 8 == 0 so groups never wrap MB rows)."""
+    from h264bsd_tpu.ops.pallas_mc import mc_predict_grids
+    rng = np.random.default_rng(3)
+    w_mbs, h_mbs = 8, 4
+    n_mb = w_mbs * h_mbs
+    H, W = h_mbs * 16, w_mbs * 16
+    dpb_y = rng.integers(0, 255, (3, H, W), dtype=np.uint8)
+    dpb_cb = rng.integers(0, 255, (3, H // 2, W // 2), dtype=np.uint8)
+    dpb_cr = rng.integers(0, 255, (3, H // 2, W // 2), dtype=np.uint8)
+    mv = np.zeros((n_mb, 16, 2), np.int32)
+    mv[:] = rng.integers(-60, 60, (n_mb, 1, 2))
+    exc = np.array([0, 7, 21], np.int32)
+    mv[exc] = rng.integers(-60, 60, (len(exc), 16, 2))
+    ref_slot = np.zeros((n_mb, 16), np.int32)
+    exc_ids = np.full(16, n_mb * 4, np.int32)
+    exc_ids[:12] = (exc[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+    used = np.array([0], np.int32)
+    args = (jnp.asarray(dpb_y), jnp.asarray(dpb_cb), jnp.asarray(dpb_cr),
+            jnp.asarray(mv), jnp.asarray(ref_slot), jnp.asarray(exc_ids),
+            jnp.asarray(used), w_mbs, h_mbs)
+    gy, gcb, gcr = mc_predict_grids(*args, interpret=True)
+    ry, rcb, rcr = mc_predict_grids(*args, interpret=True,
+                                    luma_rowtile=True)
+    plane_want = np.asarray(mb_grid_to_plane(gy, w_mbs, h_mbs))
+    plane_got = np.asarray(ry).reshape(h_mbs, w_mbs // 8, 16, 128) \
+        .transpose(0, 2, 1, 3).reshape(H, W)
+    np.testing.assert_array_equal(plane_got, plane_want)
+    np.testing.assert_array_equal(np.asarray(rcb), np.asarray(gcb))
+    np.testing.assert_array_equal(np.asarray(rcr), np.asarray(gcr))

@@ -1,0 +1,69 @@
+"""Luma rowtile path == baseline frame step, byte-identical.
+
+The rowtile layout keeps luma in plane-chunk (nG, 16, 128) tiles from
+the Pallas MC kernel through residual add and combine, reaching the
+plane with one major-dim reshape instead of three minor-dim u8
+relayouts (ops.transform.residual_planes_sparse /
+ops.pallas_mc.mc_predict_grids / ops.reconstruct.reconstruct_frame_fast
+under luma_rowtile=True). Every frame of a kernels-on decode with the
+flag must equal the plain XLA decode byte-for-byte (interpret mode on
+CPU; the TPU bench re-verifies bit-exactness on hardware).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_rowshard import STREAMS, _blob_preps
+
+
+@pytest.mark.parametrize("name", ["conformance_8x8", "intra_stress",
+                                  "multi_slice"])
+def test_rowtile_bit_exact(name):
+    from h264bsd_tpu.models.decoder import _decode_step
+
+    data = STREAMS[name]()
+    base = kern = rt = None
+    n = 0
+    for prep, info in _blob_preps(data):
+        w_mbs, h_mbs = prep["w_mbs"], prep["h_mbs"]
+        assert w_mbs % 8 == 0
+        n_mbs = prep["n_mbs"]
+        h, w = h_mbs * 16, w_mbs * 16
+        if base is None:
+            ns = info["dpb_slots"]
+            base = (jnp.zeros((ns, h, w), jnp.uint8),
+                    jnp.zeros((ns, h // 2, w // 2), jnp.uint8),
+                    jnp.zeros((ns, h // 2, w // 2), jnp.uint8))
+            kern = rt = base
+        pcm = (jnp.zeros((n_mbs, 16, 16), jnp.uint8),
+               jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+               jnp.zeros((n_mbs, 8, 8), jnp.uint8))
+        pcm_rt = (jnp.zeros((n_mbs // 8, 16, 128), jnp.uint8),
+                  pcm[1], pcm[2])
+        blob = jnp.asarray(prep["blob"])
+        pi = prep["info"]
+        args = (jnp.int32(pi["slot"]), jnp.bool_(pi["conceal_from_ref"]),
+                jnp.int32(pi["conceal_ref_slot"]), w_mbs, h_mbs,
+                prep["caps"], prep["wavefront"],
+                jnp.asarray(prep["used_slots"]))
+        base = _decode_step(blob, *base, *pcm, *args, False, False)
+        kern = _decode_step(blob, *kern, *pcm, *args, True, True,
+                            False, True)
+        # the wavefront intra tier keeps the grid layout (the rowtile
+        # gate excludes it); only list-intra frames take the flag
+        if prep["wavefront"]:
+            rt = _decode_step(blob, *rt, *pcm, *args, True, True,
+                              False, True)
+        else:
+            rt = _decode_step(blob, *rt, *pcm_rt, *args, True, True,
+                              True, True)
+        for which, got in (("kernels", kern), ("rowtile", rt)):
+            for p in range(3):
+                a = np.asarray(base[p][pi["slot"]])
+                b = np.asarray(got[p][pi["slot"]])
+                assert (a == b).all(), (
+                    f"{name} frame {n} {which} plane {p}: "
+                    f"{int((a != b).sum())} byte diffs")
+        n += 1
+    assert n > 0

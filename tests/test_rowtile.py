@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from h264bsd_tpu.ops.reconstruct import build_pcm_tensors
+from h264bsd_tpu.utils.streamgen import make_pcm_stream
 from tests.test_rowshard import STREAMS, _blob_preps
 
 
@@ -67,3 +69,45 @@ def test_rowtile_bit_exact(name):
                     f"{int((a != b).sum())} byte diffs")
         n += 1
     assert n > 0
+
+
+def test_rowtile_pcm_content():
+    """I_PCM raw samples must reach the rowtile combine through the
+    host-side plane-chunk relayout (Decoder._submit builds it with
+    numpy) byte-identically to the grid merge."""
+    from h264bsd_tpu.models.decoder import _decode_step
+
+    data = make_pcm_stream(width_mbs=8, height_mbs=2)
+    base = rt = None
+    n = 0
+    for prep, info in _blob_preps(data):
+        w_mbs, h_mbs = prep["w_mbs"], prep["h_mbs"]
+        n_mbs = prep["n_mbs"]
+        h, w = h_mbs * 16, w_mbs * 16
+        if base is None:
+            ns = info["dpb_slots"]
+            base = (jnp.zeros((ns, h, w), jnp.uint8),
+                    jnp.zeros((ns, h // 2, w // 2), jnp.uint8),
+                    jnp.zeros((ns, h // 2, w // 2), jnp.uint8))
+            rt = base
+        mb, blobs = prep["ipcm"]
+        n += len(mb)
+        py, pcb, pcr = build_pcm_tensors(n_mbs, mb, blobs)
+        py_rt = py.reshape(n_mbs // 8, 8, 16, 16)             .transpose(0, 2, 1, 3).reshape(n_mbs // 8, 16, 128)
+        blob = jnp.asarray(prep["blob"])
+        pi = prep["info"]
+        args = (jnp.int32(pi["slot"]), jnp.bool_(pi["conceal_from_ref"]),
+                jnp.int32(pi["conceal_ref_slot"]), w_mbs, h_mbs,
+                prep["caps"], prep["wavefront"],
+                jnp.asarray(prep["used_slots"]))
+        j = jnp.asarray
+        base = _decode_step(blob, *base, j(py), j(pcb), j(pcr), *args,
+                            False, False)
+        rt = _decode_step(blob, *rt, j(py_rt), j(pcb), j(pcr), *args,
+                          True, True, True, True)
+        for p in range(3):
+            a = np.asarray(base[p][pi["slot"]])
+            b = np.asarray(rt[p][pi["slot"]])
+            assert (a == b).all(), (
+                f"plane {p}: {int((a != b).sum())} byte diffs")
+    assert n > 0, "PCM stream must carry I_PCM macroblocks"

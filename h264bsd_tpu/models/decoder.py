@@ -618,13 +618,17 @@ class Decoder:
         return views
 
     def _get_zero_pcm(self, n_mbs, rowtile):
-        ly = ((n_mbs // 8, 16, 128) if rowtile else (n_mbs, 16, 16))
+        if rowtile:
+            ly = (n_mbs // 8, 16, 128)
+            lc = (n_mbs // 8, 8, 64)
+        else:
+            ly = (n_mbs, 16, 16)
+            lc = (n_mbs, 8, 8)
         key = (n_mbs, rowtile)
         if self._zero_pcm is None or self._zero_pcm[0] != key:
-            self._zero_pcm = (key,
-                              (jnp.zeros(ly, jnp.uint8),
-                               jnp.zeros((n_mbs, 8, 8), jnp.uint8),
-                               jnp.zeros((n_mbs, 8, 8), jnp.uint8)))
+            self._zero_pcm = (key, (jnp.zeros(ly, jnp.uint8),
+                                    jnp.zeros(lc, jnp.uint8),
+                                    jnp.zeros(lc, jnp.uint8)))
         return self._zero_pcm[1]
 
     def _submit_window_exact(self, preps):

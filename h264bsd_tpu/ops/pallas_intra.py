@@ -417,10 +417,21 @@ def intra_pass_pallas(y_plane, cb_plane, cr_plane, mb_class, i4_modes,
     meta = jnp.pad(meta, ((0, n_steps * DG - n_entries), (0, 0)))
 
     # transposed residual layouts: luma (16, nMB*16), chroma (16, nMB*8)
-    # (cb rows 0-7, cr rows 8-15), padded so lane supersets stay in bounds
+    # (cb rows 0-7, cr rows 8-15), padded so lane supersets stay in
+    # bounds. Both accept the rowtile layouts (luma (nG, 16, 128),
+    # chroma a (cb, cr) pair of (nG, 8, 64) half-chunk stacks): the
+    # transpose+reshape lands in the SAME final layout, but over the
+    # 128/64-lane minor dims it is a cheap major-dim move instead of a
+    # minor-dim shuffle.
     rl = resid_luma.astype(jnp.int16).transpose(1, 0, 2).reshape(16, -1)
-    rc = jnp.concatenate([resid_chroma[:, 0], resid_chroma[:, 1]], axis=1) \
-        .astype(jnp.int16).transpose(1, 0, 2).reshape(16, -1)
+    if isinstance(resid_chroma, tuple):
+        rc = jnp.concatenate(
+            [t.astype(jnp.int16).transpose(1, 0, 2).reshape(8, -1)
+             for t in resid_chroma], axis=0)
+    else:
+        rc = jnp.concatenate([resid_chroma[:, 0], resid_chroma[:, 1]],
+                             axis=1) \
+            .astype(jnp.int16).transpose(1, 0, 2).reshape(16, -1)
     rl = jnp.pad(rl, ((0, 0), (0, _round128(rl.shape[1]) + 256
                                - rl.shape[1])))
     rc = jnp.pad(rc, ((0, 0), (0, _round128(rc.shape[1]) + 256

@@ -213,39 +213,52 @@ def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
 
 def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
                            n_mbs):
+    """Two 8-MB groups per output tile: each group's bilinear result
+    (8 MBs at 16-lane window pitch, low 8 lanes meaningful) compacts to
+    a 64-lane half-chunk, the pair forming one (8, 128) tile — 16
+    consecutive MBs' chroma in the half-chunk rowtile layout."""
     base = pl.program_id(0) * GU
 
-    def group(g, _):
-        winsb, winsr, xf, yf = [], [], [], []
+    def pair(p2, _):
+        halves_b, halves_r = [], []
         zpad = jnp.zeros((9, CWIN - 12), jnp.int32)
-        for wslot in range(CGRP):
-            m = jnp.minimum(base + g * CGRP + wslot, n_mbs - 1) - base
-            xf.append(meta_ref[m, 6])
-            yf.append(meta_ref[m, 7])
-            r = meta_ref[m, 3]
-            winsb.extend([_load_win(rcb_ref, r, meta_ref[m, 4],
-                                    meta_ref[m, 5], 9, 12, 16), zpad])
-            winsr.extend([_load_win(rcr_ref, r, meta_ref[m, 4],
-                                    meta_ref[m, 5], 9, 12, 16), zpad])
-        pkb = jnp.concatenate(winsb, axis=1)
-        pkr = jnp.concatenate(winsr, axis=1)
-        cxf = _scalar_lane_map(xf, 8, CWIN)
-        cyf = _scalar_lane_map(yf, 8, CWIN)
+        for half in range(2):
+            winsb, winsr, xf, yf = [], [], [], []
+            for wslot in range(CGRP):
+                m = jnp.minimum(base + (2 * p2 + half) * CGRP + wslot,
+                                n_mbs - 1) - base
+                xf.append(meta_ref[m, 6])
+                yf.append(meta_ref[m, 7])
+                r = meta_ref[m, 3]
+                winsb.extend([_load_win(rcb_ref, r, meta_ref[m, 4],
+                                        meta_ref[m, 5], 9, 12, 16), zpad])
+                winsr.extend([_load_win(rcr_ref, r, meta_ref[m, 4],
+                                        meta_ref[m, 5], 9, 12, 16), zpad])
+            pkb = jnp.concatenate(winsb, axis=1)
+            pkr = jnp.concatenate(winsr, axis=1)
+            cxf = _scalar_lane_map(xf, 8, CWIN)
+            cyf = _scalar_lane_map(yf, 8, CWIN)
 
-        def bilinear(pk):
-            a = pk[0:8]
-            b = _lshift(pk, 1)[0:8]
-            c = pk[1:9]
-            d = _lshift(pk, 1)[1:9]
-            return (((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b +
-                     (8 - cxf) * cyf * c + cxf * cyf * d + 32) >> 6) \
-                .astype(jnp.uint8)
+            def bilinear(pk):
+                a = pk[0:8]
+                b = _lshift(pk, 1)[0:8]
+                c = pk[1:9]
+                d = _lshift(pk, 1)[1:9]
+                return ((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b +
+                        (8 - cxf) * cyf * c + cxf * cyf * d + 32) >> 6
 
-        ocb_ref[pl.ds(g * 8, 8), :] = bilinear(pkb)
-        ocr_ref[pl.ds(g * 8, 8), :] = bilinear(pkr)
+            for out, t in ((halves_b, bilinear(pkb)),
+                           (halves_r, bilinear(pkr))):
+                out.append(jnp.concatenate(
+                    [t[:, 16 * k:16 * k + 8] for k in range(CGRP)],
+                    axis=1))
+        ocb_ref[pl.ds(p2 * 8, 8), :] = \
+            jnp.concatenate(halves_b, axis=1).astype(jnp.uint8)
+        ocr_ref[pl.ds(p2 * 8, 8), :] = \
+            jnp.concatenate(halves_r, axis=1).astype(jnp.uint8)
         return 0
 
-    lax.fori_loop(0, GU // CGRP, group, 0, unroll=True)
+    lax.fori_loop(0, GU // (2 * CGRP), pair, 0, unroll=True)
 
 
 def _exc_luma_kernel(nreal_ref, meta_ref, refs_ref, out_ref, *, n_blocks):
@@ -458,18 +471,26 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     uy = _run(partial(_uniform_luma_kernel, n_mbs=n_mb), meta_p, [refs_y],
               1, (GU // 8) * 16, GU, interpret)
     ucb, ucr = _run(partial(_uniform_chroma_kernel, n_mbs=n_mb), meta_p,
-                    [refs_cb, refs_cr], 2, (GU // CGRP) * 8, GU, interpret)
+                    [refs_cb, refs_cr], 2, (GU // (2 * CGRP)) * 8, GU,
+                    interpret)
 
-    # the luma kernel emits rowtile tiles (8 consecutive MBs at 16-lane
-    # pitch); with luma_rowtile they pass through untouched and the
-    # caller combines/stores in that layout
+    # the kernels emit rowtile tiles (luma: 8 consecutive MBs at 16-lane
+    # pitch; chroma: two 8-MB 64-lane half-chunks per tile); with
+    # luma_rowtile they pass through untouched and the caller
+    # combines/stores in that layout
     n_g8 = -(-n_mb // 8)
     uy_rt = uy.reshape(-1, 16, 128)[:n_g8]
+    cb_rt = ucb.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 64)[:n_g8]
+    cr_rt = ucr.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 64)[:n_g8]
     if not luma_rowtile:
         grid_y = uy_rt.reshape(n_g8, 16, 8, 16) \
             .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 16, 16)[:n_mb]
-    grid_cb = _tiles_to_grid(ucb, CGRP, CWIN, 8)[:n_mb]
-    grid_cr = _tiles_to_grid(ucr, CGRP, CWIN, 8)[:n_mb]
+        grid_cb = cb_rt.reshape(n_g8, 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 8, 8)[:n_mb]
+        grid_cr = cr_rt.reshape(n_g8, 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 8, 8)[:n_mb]
 
     exc_cap = exc_ids.shape[0]
     if exc_cap:
@@ -549,37 +570,47 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             return jnp.where(mask, tile, grid)
 
         if luma_rowtile:
-            # rowtile: luma quads land as (8, 8) pixel windows straight
-            # in the plane-chunk layout (disjoint windows: one entry per
-            # quad; padding entries go to distinct spare cells)
+            # rowtile: quads land as pixel windows straight in the
+            # plane-chunk layouts — luma (8, 8) windows in the 128-lane
+            # tiles, chroma (4, 4) windows in the 64-lane half-chunks
+            # (disjoint windows: one entry per quad; padding entries go
+            # to distinct spare cells)
             from .unpack import scatter_windows
-            quads_y = blocks_to_quads(ey, CWIN, 4)        # (cap, 8, 8)
             valid_q = exc_ids < n_mb * 4
-            rows0 = (emb // 8) * 16 + (equad // 2) * 8
-            cols0 = (emb % 8) * 16 + (equad % 2) * 8
             i = jnp.arange(exc_cap, dtype=jnp.int32)
-            idx = jnp.stack(
-                [jnp.where(valid_q, rows0, n_g8 * 16 + (i // 16) * 8),
-                 jnp.where(valid_q, cols0, (i % 16) * 8)], axis=1)
-            spare = 8 * -(-exc_cap // 16)
-            shp = (n_g8 * 16 + spare, 128)
-            qbuf = scatter_windows(jnp.zeros(shp, jnp.uint8), idx,
-                                   quads_y)
-            qpres = scatter_windows(jnp.zeros(shp, jnp.bool_), idx,
-                                    jnp.ones((exc_cap, 8, 8), jnp.bool_))
-            uy_rt = jnp.where(qpres[:n_g8 * 16].reshape(n_g8, 16, 128),
-                              qbuf[:n_g8 * 16].reshape(n_g8, 16, 128),
-                              uy_rt)
-            grid_cb = quad_merge(grid_cb, blocks_to_quads(ecb, 8, 2), 2)
-            grid_cr = quad_merge(grid_cr, blocks_to_quads(ecr, 8, 2), 2)
-            return uy_rt, grid_cb, grid_cr
+
+            def win_merge(rt, quads, size, n_rows):
+                lanes = 2 * size * 8        # tile width (luma 128, chroma 64)
+                rows0 = (emb // 8) * n_rows + (equad // 2) * size
+                cols0 = (emb % 8) * (2 * size) + (equad % 2) * size
+                per = lanes // size         # spare cells per spare row block
+                idx = jnp.stack(
+                    [jnp.where(valid_q, rows0,
+                               n_g8 * n_rows + (i // per) * size),
+                     jnp.where(valid_q, cols0, (i % per) * size)], axis=1)
+                spare = size * -(-exc_cap // per)
+                shp = (n_g8 * n_rows + spare, lanes)
+                qbuf = scatter_windows(jnp.zeros(shp, jnp.uint8), idx,
+                                       quads)
+                qpres = scatter_windows(
+                    jnp.zeros(shp, jnp.bool_), idx,
+                    jnp.ones((exc_cap, size, size), jnp.bool_))
+                lim = n_g8 * n_rows
+                return jnp.where(
+                    qpres[:lim].reshape(n_g8, n_rows, lanes),
+                    qbuf[:lim].reshape(n_g8, n_rows, lanes), rt)
+
+            uy_rt = win_merge(uy_rt, blocks_to_quads(ey, CWIN, 4), 8, 16)
+            cb_rt = win_merge(cb_rt, blocks_to_quads(ecb, 8, 2), 4, 8)
+            cr_rt = win_merge(cr_rt, blocks_to_quads(ecr, 8, 2), 4, 8)
+            return uy_rt, cb_rt, cr_rt
 
         grid_y = quad_merge(grid_y, blocks_to_quads(ey, CWIN, 4), 4)
         grid_cb = quad_merge(grid_cb, blocks_to_quads(ecb, 8, 2), 2)
         grid_cr = quad_merge(grid_cr, blocks_to_quads(ecr, 8, 2), 2)
 
     if luma_rowtile:
-        return uy_rt, grid_cb, grid_cr
+        return uy_rt, cb_rt, cr_rt
     return grid_y, grid_cb, grid_cr
 
 

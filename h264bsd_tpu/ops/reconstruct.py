@@ -184,21 +184,38 @@ def reconstruct_frame_fast(packed, slice_table, sparse_ids, sparse_levels,
         y = y_rt.reshape(height_mbs, width_mbs // 8, 16, 128) \
             .transpose(0, 2, 1, 3) \
             .reshape(height_mbs * 16, width_mbs * 16)
+        # chroma in the 64-lane half-chunk tiles (pcm_cb/pcm_cr arrive
+        # pre-laid-out by the caller, like pcm_y)
+        inter_c = jnp.repeat(inter_mask.reshape(n_g8, 8), 8,
+                             axis=1)[:, None, :]
+        pcm_c = jnp.repeat(pcm_mask.reshape(n_g8, 8), 8,
+                           axis=1)[:, None, :]
+        cb, cr = [
+            jnp.where(pcm_c, pcm_p,
+                      jnp.where(inter_c, jnp.clip(pred_p + res_p, 0, 255),
+                                0).astype(jnp.uint8))
+            .reshape(height_mbs, width_mbs // 8, 8, 64)
+            .transpose(0, 2, 1, 3)
+            .reshape(height_mbs * 8, width_mbs * 8)
+            for pred_p, res_p, pcm_p in
+            ((pred_cb, res_c[0], pcm_cb), (pred_cr, res_c[1], pcm_cr))]
     else:
         mb_y = jnp.where(inter_mask[:, None, None],
                          jnp.clip(pred_y + res_l, 0, 255),
                          0).astype(jnp.uint8)
         mb_y = jnp.where(pcm_mask[:, None, None], pcm_y, mb_y)
         y = mb_grid_to_plane(mb_y, width_mbs, height_mbs)
-    mb_cb = jnp.where(inter_mask[:, None, None],
-                      jnp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
-    mb_cr = jnp.where(inter_mask[:, None, None],
-                      jnp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
-    mb_cb = jnp.where(pcm_mask[:, None, None], pcm_cb, mb_cb)
-    mb_cr = jnp.where(pcm_mask[:, None, None], pcm_cr, mb_cr)
+        mb_cb = jnp.where(inter_mask[:, None, None],
+                          jnp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
+        mb_cr = jnp.where(inter_mask[:, None, None],
+                          jnp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
+        mb_cb = jnp.where(pcm_mask[:, None, None], pcm_cb, mb_cb)
+        mb_cr = jnp.where(pcm_mask[:, None, None], pcm_cr, mb_cr)
 
-    cb = mb_grid_to_plane(mb_cb.astype(jnp.uint8), width_mbs, height_mbs)
-    cr = mb_grid_to_plane(mb_cr.astype(jnp.uint8), width_mbs, height_mbs)
+        cb = mb_grid_to_plane(mb_cb.astype(jnp.uint8), width_mbs,
+                              height_mbs)
+        cr = mb_grid_to_plane(mb_cr.astype(jnp.uint8), width_mbs,
+                              height_mbs)
 
     intra_args = (mb_class, t["i4_modes"].astype(jnp.int32),
                   t["i4_avail"].astype(jnp.int32),

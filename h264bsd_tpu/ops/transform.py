@@ -292,16 +292,32 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
                           .transpose(0, 2, 1, 3), 4, axis=3)
         dcrt = jnp.repeat(dcrt.reshape(n_g8, 4, 128), 4, axis=1)
         res_l = (lbuf[:n_g8 * 16].reshape(n_g8, 16, 128) + dcrt + 32) >> 6
-        # chroma stays on the block-row scatter + pixel relayout (its
-        # plane-chunk rows would need 16 consecutive MBs, which wraps
-        # rows whenever width_mbs % 16 != 0 — e.g. 1080p's 120)
-        is_cac = valid & (b >= 16) & (b < 24)
-        cid = jnp.where(is_cac, mb * 8 + (b - 16), n_mb * 8)
-        cbuf, _ = scatter_present(cid, bf_e, n_mb * 8, jnp.int32)
-        cres = (cbuf.reshape(n_mb, 8, 16) + cdc[:, :, None] + 32) >> 6
-        res_c = cres.reshape(n_mb, 2, 2, 2, 4, 4) \
-            .transpose(0, 1, 2, 4, 3, 5).reshape(n_mb, 2, 8, 8)
-        return res_l, res_c
+        # chroma in HALF-chunk rowtile tiles (nG, 8, 64): 8 consecutive
+        # MBs' 8-px chroma rows are 64 contiguous plane pixels under the
+        # same width_mbs % 8 == 0 gate (full 128-lane chunks would need
+        # 16 MBs and wrap rows at 1080p's 120). One (cb, cr) pair of
+        # tile stacks; the plane is again a major-dim reshape away.
+        res_c = []
+        for p in range(2):
+            is_cp = valid & (b >= 16 + 4 * p) & (b < 20 + 4 * p)
+            blk = b - (16 + 4 * p)
+            rows0 = (mb // 8) * 8 + (blk // 2) * 4
+            cols0 = (mb % 8) * 8 + (blk % 2) * 4
+            idx = jnp.stack(
+                [jnp.where(is_cp, rows0, n_g8 * 8 + (i // 16) * 4),
+                 jnp.where(is_cp, cols0, (i % 16) * 4)], axis=1)
+            spare_c = 4 * -(-cap // 16)
+            cb_buf = scatter_windows(
+                jnp.zeros((n_g8 * 8 + spare_c, 64), jnp.int32), idx,
+                bf_e.reshape(cap, 4, 4))
+            # DC lane map: cdc[8g+m, 4p + 2by + bx] over its 4x4 patch
+            dcc = jnp.repeat(cdc[:, 4 * p:4 * p + 4]
+                             .reshape(n_g8, 8, 2, 2)
+                             .transpose(0, 2, 1, 3), 4, axis=3)
+            dcc = jnp.repeat(dcc.reshape(n_g8, 2, 64), 4, axis=1)
+            res_c.append((cb_buf[:n_g8 * 8].reshape(n_g8, 8, 64)
+                          + dcc + 32) >> 6)
+        return res_l, tuple(res_c)
 
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)
     buf, _ = scatter_present(scatter_id, bf_e, n_mb * 24, jnp.int32)

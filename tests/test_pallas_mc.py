@@ -134,5 +134,9 @@ def test_mc_luma_rowtile_interpret():
     plane_got = np.asarray(ry).reshape(h_mbs, w_mbs // 8, 16, 128) \
         .transpose(0, 2, 1, 3).reshape(H, W)
     np.testing.assert_array_equal(plane_got, plane_want)
-    np.testing.assert_array_equal(np.asarray(rcb), np.asarray(gcb))
-    np.testing.assert_array_equal(np.asarray(rcr), np.asarray(gcr))
+    # chroma comes back as (nG, 8, 64) half-chunk tiles
+    for grid, rt in ((gcb, rcb), (gcr, rcr)):
+        cw = np.asarray(mb_grid_to_plane(grid, w_mbs, h_mbs))
+        cg = np.asarray(rt).reshape(h_mbs, w_mbs // 8, 8, 64) \
+            .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
+        np.testing.assert_array_equal(cg, cw)

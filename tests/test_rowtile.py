@@ -42,7 +42,8 @@ def test_rowtile_bit_exact(name):
                jnp.zeros((n_mbs, 8, 8), jnp.uint8),
                jnp.zeros((n_mbs, 8, 8), jnp.uint8))
         pcm_rt = (jnp.zeros((n_mbs // 8, 16, 128), jnp.uint8),
-                  pcm[1], pcm[2])
+                  jnp.zeros((n_mbs // 8, 8, 64), jnp.uint8),
+                  jnp.zeros((n_mbs // 8, 8, 64), jnp.uint8))
         blob = jnp.asarray(prep["blob"])
         pi = prep["info"]
         args = (jnp.int32(pi["slot"]), jnp.bool_(pi["conceal_from_ref"]),
@@ -93,7 +94,13 @@ def test_rowtile_pcm_content():
         mb, blobs = prep["ipcm"]
         n += len(mb)
         py, pcb, pcr = build_pcm_tensors(n_mbs, mb, blobs)
-        py_rt = py.reshape(n_mbs // 8, 8, 16, 16)             .transpose(0, 2, 1, 3).reshape(n_mbs // 8, 16, 128)
+        g = n_mbs // 8
+        py_rt = py.reshape(g, 8, 16, 16) \
+            .transpose(0, 2, 1, 3).reshape(g, 16, 128)
+        pcb_rt = pcb.reshape(g, 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(g, 8, 64)
+        pcr_rt = pcr.reshape(g, 8, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(g, 8, 64)
         blob = jnp.asarray(prep["blob"])
         pi = prep["info"]
         args = (jnp.int32(pi["slot"]), jnp.bool_(pi["conceal_from_ref"]),
@@ -103,8 +110,8 @@ def test_rowtile_pcm_content():
         j = jnp.asarray
         base = _decode_step(blob, *base, j(py), j(pcb), j(pcr), *args,
                             False, False)
-        rt = _decode_step(blob, *rt, j(py_rt), j(pcb), j(pcr), *args,
-                          True, True, True, True)
+        rt = _decode_step(blob, *rt, j(py_rt), j(pcb_rt), j(pcr_rt),
+                          *args, True, True, True, True)
         for p in range(3):
             a = np.asarray(base[p][pi["slot"]])
             b = np.asarray(rt[p][pi["slot"]])

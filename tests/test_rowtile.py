@@ -118,3 +118,36 @@ def test_rowtile_pcm_content():
             assert (a == b).all(), (
                 f"plane {p}: {int((a != b).sum())} byte diffs")
     assert n > 0, "PCM stream must carry I_PCM macroblocks"
+
+
+def test_scatter_windows_disjoint_and_padding():
+    """scatter_windows places disjoint 2D windows at (row, col) starts;
+    padding entries routed to spare cells never leak into the live
+    region (the unique-indices contract all rowtile scatters rely on)."""
+    from h264bsd_tpu.ops.unpack import scatter_windows
+
+    rng = np.random.default_rng(5)
+    live_rows, lanes, wr = 32, 128, 4
+    cap = 20
+    # 12 live disjoint windows on a 4x4 grid step + 8 padding entries
+    cells = rng.choice((live_rows // wr) * (lanes // wr), 12,
+                       replace=False)
+    starts = np.stack([(cells // (lanes // wr)) * wr,
+                       (cells % (lanes // wr)) * wr], axis=1)
+    i = np.arange(cap - 12)
+    spare = np.stack([live_rows + (i // (lanes // wr)) * wr,
+                      (i % (lanes // wr)) * wr], axis=1)
+    idx = np.concatenate([starts, spare]).astype(np.int32)
+    upd = rng.integers(1, 100, (cap, wr, wr)).astype(np.int32)
+    spare_rows = wr * -(-(cap - 12) // (lanes // wr))
+    out = np.asarray(scatter_windows(
+        jnp.zeros((live_rows + spare_rows, lanes), jnp.int32),
+        jnp.asarray(idx), jnp.asarray(upd)))
+    want = np.zeros((live_rows, lanes), np.int32)
+    for k in range(12):
+        r, c = starts[k]
+        want[r:r + wr, c:c + wr] = upd[k]
+    np.testing.assert_array_equal(out[:live_rows], want)
+    # every live value present exactly once, padding values only in spare
+    assert out[:live_rows].sum() == upd[:12].sum()
+    assert out[live_rows:].sum() == upd[12:].sum()

@@ -31,7 +31,10 @@ MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
                         # referencing more than MC_REF_CAP slots run the
                         # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
-_ROWTILE = os.environ.get("H264TPU_ROWTILE", "1") != "0"
+# rowtile defaults OFF until its first on-hardware verification (the
+# windowed scatters and kernel tile compaction are interpret-verified
+# but not yet Mosaic-compiled); H264TPU_ROWTILE=1 enables
+_ROWTILE = os.environ.get("H264TPU_ROWTILE", "0") == "1"
 
 # intra-MB count above which a frame runs the dense anti-diagonal
 # wavefront intra pass instead of the padded-list pass. The list pass

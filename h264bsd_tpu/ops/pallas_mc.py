@@ -171,7 +171,8 @@ def _scalar_lane_map(vals, rows, pitch):
 #   exc chroma    : one (2, 128) cb + cr tile per 16-block group
 # ---------------------------------------------------------------------------
 
-def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
+def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs,
+                         rowtile=False):
     """Two 4-MB groups are row-stacked (windows at row strides 0 and 21)
     so the 16-case filter math runs once per 8 MBs: outputs land at rows
     0..15 and 21..36 of the 37-row case tensors; rows 16..20 straddle the
@@ -196,23 +197,28 @@ def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs):
             [_scalar_lane_map(fr[0:LGRP], 21, LWIN),
              _scalar_lane_map(fr[LGRP:], 16, LWIN)], axis=0)
         res = _clip8(_select_cases(_luma_cases(pk, 37), sel))
-        # compact the two 4-MB halves (32-lane window pitch, low 16
-        # lanes meaningful) into ONE plane-chunk tile: 8 consecutive
-        # MBs at 16-lane pitch — the "rowtile" layout that is a single
-        # major-dim reshape from the plane (int32-domain concats; the
-        # u8 cast happens once on the assembled tile)
-        comp = jnp.concatenate(
-            [h[:, 32 * k:32 * k + 16]
-             for h in (res[0:16], res[21:37]) for k in range(LGRP)],
-            axis=1)
-        out_ref[pl.ds(g2 * 16, 16), :] = comp.astype(jnp.uint8)
+        if rowtile:
+            # compact the two 4-MB halves (32-lane window pitch, low 16
+            # lanes meaningful) into ONE plane-chunk tile: 8 consecutive
+            # MBs at 16-lane pitch — the "rowtile" layout that is a
+            # single major-dim reshape from the plane (int32-domain
+            # concats; the u8 cast happens once on the assembled tile)
+            comp = jnp.concatenate(
+                [h[:, 32 * k:32 * k + 16]
+                 for h in (res[0:16], res[21:37]) for k in range(LGRP)],
+                axis=1)
+            out_ref[pl.ds(g2 * 16, 16), :] = comp.astype(jnp.uint8)
+        else:
+            out_ref[pl.ds(g2 * 32, 16), :] = res[0:16].astype(jnp.uint8)
+            out_ref[pl.ds(g2 * 32 + 16, 16), :] = \
+                res[21:37].astype(jnp.uint8)
         return 0
 
     lax.fori_loop(0, GU // (2 * LGRP), pair, 0, unroll=True)
 
 
 def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
-                           n_mbs):
+                           n_mbs, rowtile=False):
     """Two 8-MB groups per output tile: each group's bilinear result
     (8 MBs at 16-lane window pitch, low 8 lanes meaningful) compacts to
     a 64-lane half-chunk, the pair forming one (8, 128) tile — 16
@@ -247,15 +253,23 @@ def _uniform_chroma_kernel(meta_ref, rcb_ref, rcr_ref, ocb_ref, ocr_ref, *,
                 return ((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b +
                         (8 - cxf) * cyf * c + cxf * cyf * d + 32) >> 6
 
-            for out, t in ((halves_b, bilinear(pkb)),
-                           (halves_r, bilinear(pkr))):
-                out.append(jnp.concatenate(
-                    [t[:, 16 * k:16 * k + 8] for k in range(CGRP)],
-                    axis=1))
-        ocb_ref[pl.ds(p2 * 8, 8), :] = \
-            jnp.concatenate(halves_b, axis=1).astype(jnp.uint8)
-        ocr_ref[pl.ds(p2 * 8, 8), :] = \
-            jnp.concatenate(halves_r, axis=1).astype(jnp.uint8)
+            if rowtile:
+                for out, t in ((halves_b, bilinear(pkb)),
+                               (halves_r, bilinear(pkr))):
+                    out.append(jnp.concatenate(
+                        [t[:, 16 * k:16 * k + 8] for k in range(CGRP)],
+                        axis=1))
+            else:
+                g = 2 * p2 + half
+                ocb_ref[pl.ds(g * 8, 8), :] = \
+                    bilinear(pkb).astype(jnp.uint8)
+                ocr_ref[pl.ds(g * 8, 8), :] = \
+                    bilinear(pkr).astype(jnp.uint8)
+        if rowtile:
+            ocb_ref[pl.ds(p2 * 8, 8), :] = \
+                jnp.concatenate(halves_b, axis=1).astype(jnp.uint8)
+            ocr_ref[pl.ds(p2 * 8, 8), :] = \
+                jnp.concatenate(halves_r, axis=1).astype(jnp.uint8)
         return 0
 
     lax.fori_loop(0, GU // (2 * CGRP), pair, 0, unroll=True)
@@ -468,29 +482,30 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
     n_steps = max(1, -(-n_mb // GU))
     meta_p = jnp.pad(meta, ((0, n_steps * GU - n_mb), (0, 0)))
 
-    uy = _run(partial(_uniform_luma_kernel, n_mbs=n_mb), meta_p, [refs_y],
-              1, (GU // 8) * 16, GU, interpret)
-    ucb, ucr = _run(partial(_uniform_chroma_kernel, n_mbs=n_mb), meta_p,
-                    [refs_cb, refs_cr], 2, (GU // (2 * CGRP)) * 8, GU,
-                    interpret)
+    rt = luma_rowtile
+    uy = _run(partial(_uniform_luma_kernel, n_mbs=n_mb, rowtile=rt),
+              meta_p, [refs_y], 1,
+              (GU // 8) * 16 if rt else (GU // LGRP) * 16, GU, interpret)
+    ucb, ucr = _run(partial(_uniform_chroma_kernel, n_mbs=n_mb,
+                            rowtile=rt), meta_p, [refs_cb, refs_cr], 2,
+                    (GU // (2 * CGRP)) * 8 if rt else (GU // CGRP) * 8,
+                    GU, interpret)
 
-    # the kernels emit rowtile tiles (luma: 8 consecutive MBs at 16-lane
-    # pitch; chroma: two 8-MB 64-lane half-chunks per tile); with
-    # luma_rowtile they pass through untouched and the caller
-    # combines/stores in that layout
+    # with luma_rowtile the kernels emit plane-chunk tiles (luma: 8
+    # consecutive MBs at 16-lane pitch; chroma: two 8-MB 64-lane
+    # half-chunks per tile) that pass through untouched; otherwise the
+    # proven packed-group layouts reshape to the MB grid as before
     n_g8 = -(-n_mb // 8)
-    uy_rt = uy.reshape(-1, 16, 128)[:n_g8]
-    cb_rt = ucb.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
-        .reshape(-1, 8, 64)[:n_g8]
-    cr_rt = ucr.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
-        .reshape(-1, 8, 64)[:n_g8]
-    if not luma_rowtile:
-        grid_y = uy_rt.reshape(n_g8, 16, 8, 16) \
-            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 16, 16)[:n_mb]
-        grid_cb = cb_rt.reshape(n_g8, 8, 8, 8) \
-            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 8, 8)[:n_mb]
-        grid_cr = cr_rt.reshape(n_g8, 8, 8, 8) \
-            .transpose(0, 2, 1, 3).reshape(n_g8 * 8, 8, 8)[:n_mb]
+    if rt:
+        uy_rt = uy.reshape(-1, 16, 128)[:n_g8]
+        cb_rt = ucb.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 64)[:n_g8]
+        cr_rt = ucr.reshape(-1, 8, 2, 64).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 64)[:n_g8]
+    else:
+        grid_y = _tiles_to_grid(uy, LGRP, LWIN, 16)[:n_mb]
+        grid_cb = _tiles_to_grid(ucb, CGRP, CWIN, 8)[:n_mb]
+        grid_cr = _tiles_to_grid(ucr, CGRP, CWIN, 8)[:n_mb]
 
     exc_cap = exc_ids.shape[0]
     if exc_cap:

@@ -203,11 +203,17 @@ def _uniform_luma_kernel(meta_ref, refs_ref, out_ref, *, n_mbs,
             # MBs at 16-lane pitch — the "rowtile" layout that is a
             # single major-dim reshape from the plane (int32-domain
             # concats; the u8 cast happens once on the assembled tile)
-            comp = jnp.concatenate(
-                [h[:, 32 * k:32 * k + 16]
-                 for h in (res[0:16], res[21:37]) for k in range(LGRP)],
-                axis=1)
-            out_ref[pl.ds(g2 * 16, 16), :] = comp.astype(jnp.uint8)
+            # per-half concats: mixing res[0:16] (sublane offset 0) and
+            # res[21:37] (offset 5) slices in ONE concatenate trips a
+            # Mosaic "offset mismatch on non-concat dimension" error, so
+            # each half compacts among same-offset inputs and lands in
+            # its own 64-lane store
+            for half, h in enumerate((res[0:16], res[21:37])):
+                comp = jnp.concatenate(
+                    [h[:, 32 * k:32 * k + 16] for k in range(LGRP)],
+                    axis=1)
+                out_ref[pl.ds(g2 * 16, 16),
+                        pl.ds(64 * half, 64)] = comp.astype(jnp.uint8)
         else:
             out_ref[pl.ds(g2 * 32, 16), :] = res[0:16].astype(jnp.uint8)
             out_ref[pl.ds(g2 * 32 + 16, 16), :] = \

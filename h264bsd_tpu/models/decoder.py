@@ -31,9 +31,15 @@ MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
                         # referencing more than MC_REF_CAP slots run the
                         # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
-# rowtile defaults OFF until its first on-hardware verification (the
-# windowed scatters and kernel tile compaction are interpret-verified
-# but not yet Mosaic-compiled); H264TPU_ROWTILE=1 enables
+# rowtile stays OFF by default: on-hardware verification (round 4)
+# found it bit-exact end-to-end on the 1080p stream but 14x SLOWER
+# (6.5 vs 93 fps) — ops.unpack.scatter_windows (2D update windows at
+# per-entry pixel offsets) lowers on TPU to a serialized per-window
+# scatter loop, ~150 ms/frame across the ~12k sparse residual blocks.
+# Making rowtile viable needs the window scatter re-expressed as a
+# unique-row scatter in a placement-id domain (one (nG*128, 16) row
+# scatter + a single relayout) or a dedicated Pallas scatter kernel.
+# H264TPU_ROWTILE=1 enables for experiments.
 _ROWTILE = os.environ.get("H264TPU_ROWTILE", "0") == "1"
 
 # intra-MB count above which a frame runs the dense anti-diagonal

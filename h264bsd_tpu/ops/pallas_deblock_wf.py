@@ -61,6 +61,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_deblock import _chroma_filter, _lsh, _luma_filter, _rsh
 from .pallas_util import lane_roll_narrow
 
+# Wider groups measured on v5e (round 4, 1080p P frame, unpack+deblock
+# marginal cost in an in-jit scan): G=16 OOMs the 16M scoped-VMEM limit
+# (sheared scratch grows with G); G=12 only compiles with EDGE_SKIP=0
+# and lands at 3.33 ms vs G=8+skip's 3.28 ms — the skip's win (~0.33 ms)
+# cancels the 33% group-count reduction. G=8 stays the default.
 G = int(_os.environ.get("H264TPU_DEBLOCK_G", "8"))
 LN = 32 * G    # luma tile lanes (and chroma: 32-lane cb|cr slots)
 # groups per grid step (tunable: fewer grid steps amortize the per-step

@@ -188,9 +188,16 @@ def main() -> None:
     RESULT["value"] = round(cold_fps, 2)
     RESULT["vs_baseline"] = round(cold_fps / ref_fps, 3) if ref_fps else 0.0
 
+    # Timed reps run until the best stops improving (or the budget runs
+    # out): the r4 artifact captured 88 fps with the run still climbing
+    # monotonically at its hard 5-rep cap, underreporting steady state.
+    # Stop once the best time hasn't improved by >0.5% for 3 consecutive
+    # reps, with a floor of 5 and a generous ceiling as a runaway guard.
     best = float("inf")
     reps = 0
-    while reps < 5 and time.monotonic() - T0 < BUDGET - 60:
+    stale = 0
+    while (reps < 5 or stale < 3) and reps < 60 \
+            and time.monotonic() - T0 < BUDGET - 60:
         t0 = time.perf_counter()
         n = 0
         last = None
@@ -199,6 +206,7 @@ def main() -> None:
             n += 1
         jax.block_until_ready(last.yuv_planes())
         dt = time.perf_counter() - t0
+        stale = stale + 1 if dt > best * 0.995 else 0
         best = min(best, dt)
         reps += 1
         RESULT["value"] = round(n / best, 2)
@@ -206,7 +214,7 @@ def main() -> None:
             if ref_fps else 0.0
         RESULT.setdefault("decoder_fps_runs", []).append(round(n / dt, 1))
         log(f"timed rep {reps}: {n} frames in {dt:.2f}s = {n / dt:.1f} fps "
-            f"(best {n / best:.1f})")
+            f"(best {n / best:.1f}, stale {stale})")
 
     emit_once()
 

@@ -48,8 +48,27 @@ def _build_once(target: Path, build_to) -> Path:
     return target
 
 
+def _require_reference() -> None:
+    """Fail (or, under pytest, skip) clearly when the reference tree is
+    absent — CI runners don't have /root/reference checked out, and the
+    golden-oracle tests are meaningless without it."""
+    if (REFERENCE / "src").is_dir():
+        return
+    import sys
+
+    msg = (f"reference tree {REFERENCE} not available "
+           f"(set H264BSD_REFERENCE to an oneam/h264bsd checkout)")
+    if "pytest" in sys.modules:
+        import pytest
+
+        pytest.skip(msg)
+    raise FileNotFoundError(msg)
+
+
 def reference_binary() -> Path:
     """Build the reference test binary (once) into WORK and return its path."""
+    _require_reference()
+
     def _gcc(out: Path):
         srcs = sorted(str(p) for p in (REFERENCE / "src").glob("*.c"))
         srcs.append(str(REFERENCE / "posix" / "test_h264bsd.c"))
@@ -63,6 +82,7 @@ def reference_binary() -> Path:
 
 
 def stream_path(name: str) -> Path:
+    _require_reference()
     return REFERENCE / "test" / STREAMS[name][0]
 
 

@@ -36,6 +36,14 @@ def pytest_collection_modifyitems(config, items):
     while the process is young sidesteps the compiler bug without losing
     any coverage.
     """
-    front = [it for it in items if "test_pallas" in str(it.fspath)]
-    rest = [it for it in items if "test_pallas" not in str(it.fspath)]
+    def is_big(it):
+        # test_rowtile compiles the largest interpret-mode programs of
+        # all (full rowtile decode steps with Pallas MC+intra+deblock in
+        # interpret mode) — round 4's gw3 segfault was exactly these
+        # running LAST on a compile-saturated worker
+        return ("test_rowtile" in str(it.fspath)
+                or "test_pallas" in str(it.fspath))
+
+    front = [it for it in items if is_big(it)]
+    rest = [it for it in items if not is_big(it)]
     items[:] = front + rest

@@ -66,7 +66,10 @@ def main():
           f"({wall/len(win)*1e3:.2f} ms/frame)", flush=True)
 
     # ---- parse the xplane proto ----
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ImportError:   # tensorflow >= 2.21 moved the proto under tsl
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     print("trace files:", files, flush=True)

@@ -141,15 +141,22 @@ class FrontendDecoder:
     device reconstruction pipeline."""
 
     def __init__(self, no_output_reordering: bool = False,
-                 intra_concealment: bool = False):
+                 intra_concealment: bool = False, slot_margin: int = 0):
         """intra_concealment mirrors the reference's intraConcealmentFlag
         (h264bsd_storage.h:148-149, read at conceal.c:146-186). It only
         affects the whole-picture-lost I case: with the flag set a fully
         lost I picture is concealed by copying the reference picture
-        instead of going grey. P-picture concealment is unchanged."""
+        instead of going grey. P-picture concealment is unchanged.
+
+        slot_margin requests spare device-ring slots rotated FIFO by the
+        DPB allocator so a windowed device dispatch of up to that many
+        frames never reuses a ring slot (Dpb::init). Clamped so slot ids
+        stay < 32; read the effective value from
+        stream_info()["slot_margin"]."""
         self._lib = lib()
         flags = (1 if no_output_reordering else 0) | \
-            (2 if intra_concealment else 0)
+            (2 if intra_concealment else 0) | \
+            ((min(max(int(slot_margin), 0), 255) & 0xFF) << 8)
         self._h = self._lib.h264tpu_create(flags)
 
     def close(self) -> None:
@@ -189,8 +196,8 @@ class FrontendDecoder:
         keys = ["width_mbs", "height_mbs", "dpb_slots", "crop_flag",
                 "crop_left", "crop_width", "crop_top", "crop_height",
                 "sar_width", "sar_height", "profile", "full_range",
-                "n_slots", "matrix_coefficients"]
-        return dict(zip(keys, out[:14].tolist()))
+                "n_slots", "matrix_coefficients", "slot_margin"]
+        return dict(zip(keys, out[:15].tolist()))
 
     def pic_info(self) -> dict:
         out = np.zeros(16, np.int32)

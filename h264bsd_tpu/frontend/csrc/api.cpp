@@ -19,9 +19,12 @@ extern "C" {
 // ---- decoder instance API ----
 
 // flags: bit 0 = no_output_reordering (h264bsdInit decoder.c:90-113),
-// bit 1 = intraConcealmentFlag (h264bsd_storage.h:148-149)
+// bit 1 = intraConcealmentFlag (h264bsd_storage.h:148-149),
+// bits 8-15 = requested DPB slot margin for windowed device dispatch
+// (spare ring slots rotated FIFO; see Dpb::init)
 void* h264tpu_create(u32 flags) {
-  return new Decoder((flags & 1) != 0, (flags & 2) != 0);
+  return new Decoder((flags & 1) != 0, (flags & 2) != 0,
+                     (flags >> 8) & 0xFF);
 }
 
 void h264tpu_destroy(void* inst) { delete static_cast<Decoder*>(inst); }
@@ -49,7 +52,8 @@ void h264tpu_stream_info(void* inst, u32* out16) {
   out16[11] = d->video_full_range() ? 1 : 0;
   out16[12] = d->dpb_n_slots();
   out16[13] = d->matrix_coefficients();
-  out16[14] = out16[15] = 0;
+  out16[14] = d->slot_margin();
+  out16[15] = 0;
 }
 
 // reference h264bsdFlushBuffer: force every pending picture into the

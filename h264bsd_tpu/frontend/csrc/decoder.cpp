@@ -107,8 +107,13 @@ u32 Decoder::activate_param_sets(u32 pps_id, bool is_idr) {
         (active_sps_->vui_present && active_sps_->vui &&
          active_sps_->vui->bitstream_restriction &&
          active_sps_->vui->num_reorder_frames == 0);
+    // clamp the requested window slot margin so every device-ring slot
+    // id stays < 32 (used_slot_mask is a u32 bitmask, mbparse.cpp:1065)
+    u32 base_slots = active_sps_->max_dpb_size + 1;
+    u32 margin = base_slots < 32 ? std::min(slot_margin_req_,
+                                            32 - base_slots) : 0;
     dpb_.init(active_sps_->max_dpb_size, active_sps_->num_ref_frames,
-              active_sps_->max_frame_num, no_reorder_flag);
+              active_sps_->max_frame_num, no_reorder_flag, margin);
   } else if (pps_id != active_pps_id_) {
     if (pps.sps_id != active_sps_id_) {
       if (!is_idr) return kDecodeError;  // SPS may change only at IDR

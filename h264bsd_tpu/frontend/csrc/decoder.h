@@ -56,10 +56,14 @@ struct AubState {
 
 class Decoder {
  public:
+  // slot_margin: requested spare device-ring slots for windowed
+  // dispatch (see Dpb::init; clamped so every slot id stays < 32 for
+  // the u32 used_slot_mask).
   explicit Decoder(bool no_output_reordering = false,
-                   bool intra_concealment = false)
+                   bool intra_concealment = false, u32 slot_margin = 0)
       : no_reordering_(no_output_reordering),
-        intra_concealment_(intra_concealment) {}
+        intra_concealment_(intra_concealment),
+        slot_margin_req_(slot_margin) {}
 
   // Decode one NAL unit (reference h264bsdDecode decoder.c:152-515).
   u32 decode(const u8* data, u32 len, u32 pic_id, u32* read_bytes);
@@ -77,7 +81,8 @@ class Decoder {
   const Pps* active_pps() const { return active_pps_; }
   u32 pic_width_mbs() const { return active_sps_ ? active_sps_->pic_width_in_mbs : 0; }
   u32 pic_height_mbs() const { return active_sps_ ? active_sps_->pic_height_in_mbs : 0; }
-  u32 dpb_n_slots() const { return dpb_.dpb_size() + 1; }
+  u32 dpb_n_slots() const { return dpb_.n_slots(); }
+  u32 slot_margin() const { return dpb_.slot_margin(); }
   const Dpb& dpb() const { return dpb_; }
 
   // Non-existing frames synthesized since the last call (device zero-fills
@@ -152,6 +157,7 @@ class Decoder {
   // conceal.c:146-186): only changes the whole-picture-lost I case — copy
   // the reference picture instead of grey. P concealment is unaffected.
   bool intra_concealment_ = false;
+  u32 slot_margin_req_ = 0;   // see constructor
 
   // parameter set registries (reference storage_t.sps/pps)
   std::array<std::unique_ptr<Sps>, kMaxNumSps> sps_;

@@ -3,7 +3,7 @@
 namespace h264tpu {
 
 void Dpb::init(u32 dpb_size, u32 max_ref_frames, u32 max_frame_num,
-               bool no_reordering) {
+               bool no_reordering, u32 slot_margin) {
   // reference h264bsdInitDpb dpb.c:981-1046 (ResetDpb frees + re-inits; slot
   // ids replace the per-picture mallocs).
   buffer_ = {};
@@ -22,6 +22,10 @@ void Dpb::init(u32 dpb_size, u32 max_ref_frames, u32 max_frame_num,
   flushed_ = false;
   initialized_ = true;
   for (u32 i = 0; i < dpb_size_ + 1; ++i) buffer_[i].slot = i32(i);
+  slot_margin_ = slot_margin;
+  slot_pool_.clear();
+  for (u32 i = 0; i < slot_margin_; ++i)
+    slot_pool_.push_back(i32(dpb_size_ + 1 + i));
   current_out_ = dpb_size_;
 }
 
@@ -29,6 +33,16 @@ i32 Dpb::allocate_image() {
   // reference h264bsdAllocateDpbImage dpb.c:865-885: after the sort the
   // buffer position dpbSize is guaranteed free; its slot hosts the new pic.
   current_out_ = dpb_size_;
+  if (slot_margin_ > 0) {
+    // rotate the free position's slot id through the FIFO spare pool:
+    // the freed id waits >= slot_margin_ allocations before reuse, so a
+    // scanned device window of up to that many frames never writes one
+    // ring slot twice (see dpb.h init docs). The id swap is invisible to
+    // the reference bookkeeping — slots are opaque here.
+    slot_pool_.push_back(buffer_[current_out_].slot);
+    buffer_[current_out_].slot = slot_pool_.front();
+    slot_pool_.pop_front();
+  }
   return buffer_[current_out_].slot;
 }
 

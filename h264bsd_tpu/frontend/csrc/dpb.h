@@ -9,6 +9,7 @@
 #pragma once
 
 #include <array>
+#include <deque>
 
 #include "common.h"
 #include "sliceheader.h"
@@ -55,9 +56,16 @@ constexpr u32 kMaxRefIdxL0Active = 16;
 class Dpb {
  public:
   // reference h264bsdInitDpb :981 / h264bsdResetDpb :1061 (no pixel allocs;
-  // slot ids 0..dpb_size are handed out in order).
+  // slot ids 0..dpb_size are handed out in order). slot_margin enlarges
+  // the device ring by that many SPARE slots rotated FIFO through
+  // allocate_image(): a freed slot id is then not handed out again for at
+  // least slot_margin subsequent allocations, so a scanned multi-frame
+  // device dispatch of up to slot_margin frames never writes the same
+  // ring slot twice and its output pictures can read the post-window
+  // ring (no per-frame plane stacking). Reference DPB semantics are
+  // unchanged — slot ids are opaque to all marking/reorder logic.
   void init(u32 dpb_size, u32 max_ref_frames, u32 max_frame_num,
-            bool no_reordering);
+            bool no_reordering, u32 slot_margin = 0);
 
   // reference h264bsdAllocateDpbImage :865 — reserve buffer[dpbSize]'s slot
   // for the current picture. Returns the slot id.
@@ -94,6 +102,8 @@ class Dpb {
   void flush();
 
   u32 dpb_size() const { return dpb_size_; }
+  u32 n_slots() const { return dpb_size_ + 1 + slot_margin_; }
+  u32 slot_margin() const { return slot_margin_; }
   u32 num_ref_frames() const { return num_ref_frames_; }
   bool last_contains_mmco5() const { return last_contains_mmco5_; }
   bool no_reordering() const { return no_reordering_; }
@@ -118,6 +128,8 @@ class Dpb {
 
   std::array<DpbPicture, kMaxRefIdxL0Active + 1> buffer_{};
   std::array<i32, kMaxRefIdxL0Active + 1> list_{};  // buffer indices, -1 empty
+  std::deque<i32> slot_pool_;  // spare slot ids (FIFO), see init()
+  u32 slot_margin_ = 0;
   std::vector<DpbOutPicture> out_buf_;
   u32 num_out_ = 0;
   u32 out_index_ = 0;

@@ -31,15 +31,15 @@ MC_REF_MAX = 16         # DPB reference maximum (h264bsd_cfg.h:44); frames
                         # referencing more than MC_REF_CAP slots run the
                         # kernels as merged multi-group passes
 _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
-# rowtile stays OFF by default: on-hardware verification (round 4)
-# found it bit-exact end-to-end on the 1080p stream but 14x SLOWER
-# (6.5 vs 93 fps) — ops.unpack.scatter_windows (2D update windows at
-# per-entry pixel offsets) lowers on TPU to a serialized per-window
-# scatter loop, ~150 ms/frame across the ~12k sparse residual blocks.
-# Making rowtile viable needs the window scatter re-expressed as a
-# unique-row scatter in a placement-id domain (one (nG*128, 16) row
-# scatter + a single relayout) or a dedicated Pallas scatter kernel.
-# H264TPU_ROWTILE=1 enables for experiments.
+# rowtile (round 5): the round-4 2D-window scatter (serialized
+# per-window loop on TPU, ~150 ms/frame) is re-expressed as unique-ROW
+# scatters in the placement-id domain — each 4x4 block's (group,
+# row-band, lane-slot) triple is unique, so one (nG*128, 16) row
+# scatter plus a single int32 relayout
+# (ops.unpack.rowtile_cell_scatter/rowtile_cells_to_tiles) replaces the
+# window scatter. Bit-exact in tests/test_rowtile.py (interpret mode);
+# stays OFF by default until the compiled-mode hardware verification
+# passes. H264TPU_ROWTILE=1 enables.
 _ROWTILE = os.environ.get("H264TPU_ROWTILE", "0") == "1"
 
 # intra-MB count above which a frame runs the dense anti-diagonal
@@ -191,12 +191,14 @@ def _decode_step(blob, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr, slot,
 
 @partial(jax.jit, static_argnames=("width_mbs", "height_mbs",
                                    "intra_wavefront", "caps", "mc_pallas",
-                                   "deblock_pallas", "luma_rowtile"))
+                                   "deblock_pallas", "luma_rowtile",
+                                   "stack_outputs"))
 def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
                         slots, conceal_from_ref, conceal_ref_slot,
                         width_mbs, height_mbs, caps, intra_wavefront=False,
                         used_slots=None, mc_pallas=False,
-                        deblock_pallas=False, luma_rowtile=False):
+                        deblock_pallas=False, luma_rowtile=False,
+                        stack_outputs=True):
     """K frames in ONE dispatch: lax.scan of the per-frame body over
     stacked blobs, threading the DPB ring as carry. Amortizes the
     per-dispatch tunnel round trip (the steady-state limiter of the
@@ -204,14 +206,15 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
     by frame k-1 directly from the carried ring, with zero host
     involvement between frames.
 
-    Besides the final ring, the scan stacks every frame's decoded planes
-    as (K, H, W) outputs. Output pictures pending inside the window read
-    their planes from this stack (or, for pictures decoded before the
-    window, from the pre-window ring snapshot) instead of the post-window
-    ring — so a frame may freely reuse a DPB slot an earlier output still
-    references, and windows are no longer cut at the DPB ring period
-    (dpb_slots is 4 for the bundled streams: the cut capped every window
-    at 4 frames regardless of the WINDOW setting)."""
+    With stack_outputs the scan additionally stacks every frame's
+    decoded planes as (K, H, W) outputs, so output pictures pending
+    inside the window can read their planes even when a later frame of
+    the same window reuses their DPB slot. When the decoder's DPB runs
+    with a slot margin >= K (Dpb::init slot-pool rotation: no ring slot
+    is reused within K consecutive frames), the stack is pure overhead —
+    ~0.9 ms/frame re-materializing full planes at 1080p — and
+    stack_outputs=False returns only the ring carry; output pictures
+    then read their slots from the post-window ring snapshot."""
 
     if used_slots is None:
         used_slots = jnp.zeros((blobs.shape[0], 2), jnp.int32)
@@ -223,7 +226,7 @@ def _decode_window_step(blobs, dpb_y, dpb_cb, dpb_cr, pcm_y, pcm_cb, pcm_cr,
             blob, dy, dcb, dcr, pcm_y, pcm_cb, pcm_cr, slot, cfr, crs,
             width_mbs, height_mbs, caps, intra_wavefront, used, mc_pallas,
             deblock_pallas, luma_rowtile)
-        return (dy, dcb, dcr), planes
+        return (dy, dcb, dcr), (planes if stack_outputs else None)
 
     (dpb_y, dpb_cb, dpb_cr), stack = jax.lax.scan(
         body, (dpb_y, dpb_cb, dpb_cr),
@@ -355,14 +358,21 @@ class Decoder:
     h264bsdDecode loop -> h264bsdShutdown)."""
 
     def __init__(self, no_output_reordering: bool = False,
-                 intra_concealment: bool = False, caps_pin: dict = None):
+                 intra_concealment: bool = False, caps_pin: dict = None,
+                 slot_margin: int = 0):
         """intra_concealment = the reference's intraConcealmentFlag
         (h264bsd_storage.h:148-149; settable there only by poking the
         struct, read at conceal.c:146-186): with the flag set a fully
         lost I picture copies the reference picture instead of going
-        grey. P-picture concealment is unchanged either way."""
+        grey. P-picture concealment is unchanged either way.
+
+        slot_margin enlarges the device DPB ring by up to that many
+        spare slots (FIFO-rotated by the C++ allocator) so scanned
+        window dispatches of that many frames never reuse a ring slot
+        and can skip stacking per-frame plane outputs (see
+        _decode_window_step)."""
         self._fe = fe.FrontendDecoder(no_output_reordering,
-                                      intra_concealment)
+                                      intra_concealment, slot_margin)
         # optional {wavefront_class: caps_tuple} pin from a dry parse
         # (pin_caps_for_stream) — bounds the compile surface up front
         self._caps_pin = caps_pin
@@ -608,18 +618,29 @@ class Decoder:
         amortizes it to ~0.3 ms/frame.
 
         Returns `views`, one (planes_tuple, index) per frame: where that
-        frame's decoded planes can be read (the chunk's stacked scan
-        outputs) independently of later ring writes — the consumer
-        resolves pending output pictures against these, so a frame may
-        reuse a DPB slot an earlier output of the same window still
-        references (windows are NOT cut at the DPB ring period)."""
+        frame's decoded planes can be read independently of later ring
+        writes — the consumer resolves pending output pictures against
+        these, so a frame may reuse a DPB slot an earlier output of the
+        same window still references (windows are NOT cut at the DPB
+        ring period). With a slot margin covering the chunk size (the
+        C++ allocator then never reuses a slot within the chunk) a view
+        is simply (post-chunk ring snapshot, slot) and the scan returns
+        only the carry; otherwise the chunk's stacked per-frame scan
+        outputs serve as the view (and cost ~0.9 ms/frame at 1080p)."""
+        margin = (self._geom or {}).get("slot_margin", 0)
         views = []
         i = 0
         while len(preps) - i > 1:
             k = next(k for k in (64, 32, 16, 8, 4, 2)
-                     if k <= len(preps) - i)
-            stack = self._submit_window_exact(preps[i:i + k])
-            views += [(stack, j) for j in range(k)]
+                     if k <= len(preps) - i and (margin < 2
+                                                 or k <= margin))
+            chunk = preps[i:i + k]
+            stack = self._submit_window_exact(chunk,
+                                              stack_outputs=k > margin)
+            if stack is None:
+                views += [(self._dpb, p["info"]["slot"]) for p in chunk]
+            else:
+                views += [(stack, j) for j in range(k)]
             i += k
         if len(preps) - i:
             self._submit(preps[i])
@@ -640,7 +661,7 @@ class Decoder:
                                     jnp.zeros(lc, jnp.uint8)))
         return self._zero_pcm[1]
 
-    def _submit_window_exact(self, preps):
+    def _submit_window_exact(self, preps, stack_outputs=True):
         self._ensure_dpb()
         n_mbs = preps[0]["n_mbs"]
         zero_pcm = self._get_zero_pcm(n_mbs, preps[0]["rowtile"])
@@ -656,7 +677,7 @@ class Decoder:
             preps[0]["w_mbs"], preps[0]["h_mbs"], preps[0]["caps"],
             preps[0]["wavefront"], used,
             preps[0]["mc_pallas"], preps[0]["deblock_pallas"],
-            preps[0]["rowtile"])
+            preps[0]["rowtile"], stack_outputs)
         return stack
 
     # -- output ------------------------------------------------------------
@@ -840,7 +861,11 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     one frame ahead on a worker thread, overlapping with the previous
     frame's host->device transfer and dispatch — the double-buffering
     SURVEY.md §7 step 8 calls for."""
-    dec = Decoder(caps_pin=caps_pin)
+    WINDOW = int(os.environ.get("H264TPU_WINDOW", "16"))
+    # slot margin = window length: scanned window chunks then return
+    # only the ring carry (no stacked per-frame outputs — see
+    # _decode_window_step)
+    dec = Decoder(caps_pin=caps_pin, slot_margin=WINDOW)
     if not pipelined:
         pos = 0
         n_out = 0
@@ -895,13 +920,12 @@ def decode_stream(data: bytes, max_pictures: int | None = None,
     # over whatever the parse thread has already queued, so it never adds
     # latency when the device is the slower side. Output pictures are
     # yielded only after their window is dispatched, with planes resolved
-    # against the window's stacked per-frame scan outputs — so a frame
+    # against per-chunk views (the post-chunk ring snapshot under the
+    # slot margin, else the chunk's stacked scan outputs) — so a frame
     # may reuse a DPB slot a pending output still references and windows
     # are never cut at the DPB ring period (dpb_slots is 4 for the
     # bundled streams; the old post-window-snapshot scheme capped every
     # window at 4 frames regardless of WINDOW).
-    import os
-    WINDOW = int(os.environ.get("H264TPU_WINDOW", "16"))
     window: list = []          # [(prep, outs)]
 
     def compatible(prep):

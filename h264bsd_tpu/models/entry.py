@@ -185,6 +185,32 @@ def run_multichip_dryrun(n_devices: int) -> None:
     if n_row >= 2:
         _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs)
 
+    # third phase: the framepipe axis — a GOP-less IPPP stream with
+    # frames round-robined over ALL n devices and the DPB replicas kept
+    # coherent by the masked-psum handoff collective
+    # (parallel.framepipe), byte-compared against the single-device
+    # decoder. With this, all four parallel components (multistream via
+    # the stream axis, rowshard via the row axis, gop implicitly through
+    # the same blob step, framepipe here) are driver-verified.
+    _framepipe_dryrun(np.asarray(mesh.devices).reshape(-1))
+
+
+def _framepipe_dryrun(devices) -> None:
+    from jax.sharding import Mesh
+
+    from ..models.decoder import decode_stream
+    from ..parallel.framepipe import decode_stream_framepipe
+    from ..utils.streamgen import make_ippp_stream
+
+    data = make_ippp_stream(width_mbs=4, height_mbs=4, n_frames=5)
+    want = [p.yuv_bytes() for p in decode_stream(data, pipelined=False)]
+    mesh = Mesh(devices, ("pipe",))
+    got = [p.yuv_bytes()
+           for p in decode_stream_framepipe(data, mesh, "pipe")]
+    assert len(got) == len(want) == 5, (len(got), len(want))
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"framepipe frame {i} diverged across DPB handoff"
+
 
 def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
     from jax.sharding import Mesh
@@ -239,8 +265,11 @@ def _blob_step_dryrun(mesh, n_row, w_mbs, h_mbs) -> None:
             sharded = steps[prep["caps"]](blob, *pcm, *sharded, slot,
                                           used)
             # the PRODUCTION Pallas kernels through the row axis
-            # (interpret mode off-TPU), byte-compared at the end
-            interp = jax.default_backend() != "tpu"
+            # (interpret mode off-TPU), byte-compared at the end.
+            # Detect from the MESH devices, not default_backend(): under
+            # the axon plugin the process default can be TPU while this
+            # dryrun runs on the forced virtual CPU devices
+            interp = row_mesh.devices.flat[0].platform != "tpu"
             key = ("kern", prep["caps"])
             if key not in steps:
                 steps[key] = make_row_sharded_blob_step(

@@ -591,39 +591,51 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             return jnp.where(mask, tile, grid)
 
         if luma_rowtile:
-            # rowtile: quads land as pixel windows straight in the
-            # plane-chunk layouts — luma (8, 8) windows in the 128-lane
-            # tiles, chroma (4, 4) windows in the 64-lane half-chunks
-            # (disjoint windows: one entry per quad; padding entries go
-            # to distinct spare cells)
-            from .unpack import scatter_windows
+            # rowtile: the exception pixels land in the plane-chunk
+            # layouts as 4x4 CELLS in the placement-id domain — one
+            # unique-row scatter of 16-value raster rows plus one int32
+            # relayout per plane (rowtile_cells_to_tiles), replacing the
+            # 2D-window scatter that serialized on TPU (round-4 negative
+            # result). Luma quads split into their 4 kernel blocks (no
+            # quad assembly at all); a chroma quad IS one 4x4 cell.
+            from .unpack import (rowtile_cell_ids, rowtile_cell_scatter,
+                                 rowtile_cells_to_tiles,
+                                 rowtile_present_to_tiles)
             valid_q = exc_ids < n_mb * 4
-            i = jnp.arange(exc_cap, dtype=jnp.int32)
 
-            def win_merge(rt, quads, size, n_rows):
-                lanes = 2 * size * 8        # tile width (luma 128, chroma 64)
-                rows0 = (emb // 8) * n_rows + (equad // 2) * size
-                cols0 = (emb % 8) * (2 * size) + (equad % 2) * size
-                per = lanes // size         # spare cells per spare row block
-                idx = jnp.stack(
-                    [jnp.where(valid_q, rows0,
-                               n_g8 * n_rows + (i // per) * size),
-                     jnp.where(valid_q, cols0, (i % per) * size)], axis=1)
-                spare = size * -(-exc_cap // per)
-                shp = (n_g8 * n_rows + spare, lanes)
-                qbuf = scatter_windows(jnp.zeros(shp, jnp.uint8), idx,
-                                       quads)
-                qpres = scatter_windows(
-                    jnp.zeros(shp, jnp.bool_), idx,
-                    jnp.ones((exc_cap, size, size), jnp.bool_))
-                lim = n_g8 * n_rows
-                return jnp.where(
-                    qpres[:lim].reshape(n_g8, n_rows, lanes),
-                    qbuf[:lim].reshape(n_g8, n_rows, lanes), rt)
+            # luma: per-block cells. Kernel block j of quad q sits at
+            # 4x4-block coords (2*(q//2) + j//2, 2*(q%2) + j%2) in the MB
+            blk_l = _tiles_to_grid(ey, 128 // CWIN, CWIN, 4)[:n_blk]
+            rows_l = blk_l.reshape(n_blk, 16)
+            mbb = jnp.repeat(emb, 4)
+            qd = jnp.repeat(equad, 4)
+            j4 = jnp.tile(jnp.arange(4, dtype=jnp.int32), exc_cap)
+            pid_l = rowtile_cell_ids(mbb, (qd // 2) * 2 + j4 // 2,
+                                     (qd % 2) * 2 + j4 % 2, 32)
+            cells, pres = rowtile_cell_scatter(
+                pid_l, jnp.repeat(valid_q, 4), rows_l, n_g8 * 128)
+            qt = rowtile_cells_to_tiles(cells, n_g8, 4, 32)
+            mask = rowtile_present_to_tiles(pres, n_g8, 4, 32)
+            uy_rt = jnp.where(mask, qt.astype(jnp.uint8), uy_rt)
 
-            uy_rt = win_merge(uy_rt, blocks_to_quads(ey, CWIN, 4), 8, 16)
-            cb_rt = win_merge(cb_rt, blocks_to_quads(ecb, 8, 2), 4, 8)
-            cr_rt = win_merge(cr_rt, blocks_to_quads(ecr, 8, 2), 4, 8)
+            # chroma: assemble each quad's four 2x2 kernel blocks into
+            # one 16-value cell row (tiny transpose on (cap, 16))
+            by_c = equad // 2
+            bx_c = equad % 2
+            pid_c = rowtile_cell_ids(emb, by_c, bx_c, 16)
+
+            def chroma_merge(rt, t):
+                blk2 = _tiles_to_grid(t, 128 // 8, 8, 2)[:n_blk]
+                q16 = blk2.reshape(exc_cap, 2, 2, 2, 2) \
+                    .transpose(0, 1, 3, 2, 4).reshape(exc_cap, 16)
+                c, p = rowtile_cell_scatter(pid_c, valid_q, q16,
+                                            n_g8 * 32)
+                ct = rowtile_cells_to_tiles(c, n_g8, 2, 16)
+                m = rowtile_present_to_tiles(p, n_g8, 2, 16)
+                return jnp.where(m, ct.astype(jnp.uint8), rt)
+
+            cb_rt = chroma_merge(cb_rt, ecb)
+            cr_rt = chroma_merge(cr_rt, ecr)
             return uy_rt, cb_rt, cr_rt
 
         grid_y = quad_merge(grid_y, blocks_to_quads(ey, CWIN, 4), 4)

@@ -271,27 +271,23 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
         # MBs [8g, 8g+8), MB m's pixel (r, c) at [g, r, 16m + c] — the
         # layout the Pallas MC kernel emits and one major-dim reshape
         # from the plane itself. The butterflied 4x4 blocks scatter as
-        # (4, 4) windows straight at their pixel positions, so the
-        # block->pixel minor-dim relayout (mb_residual_planes) never
-        # happens. Caller guarantees n_mb % 8 == 0.
-        from .unpack import scatter_windows
+        # 16-value rows in the PLACEMENT-ID domain (each block's (group,
+        # row-band, lane-slot) triple is unique), then one int32
+        # relayout yields the pixel tiles — a 2D-window scatter here
+        # lowered to a serialized per-window loop on TPU (~150 ms/frame,
+        # the round-4 negative result). Caller guarantees n_mb % 8 == 0.
+        from .unpack import (rowtile_cell_ids, rowtile_cell_scatter,
+                             rowtile_cells_to_tiles)
         n_g8 = n_mb // 8
         is_lac = valid & (b < 16)
-        rows0 = (mb // 8) * 16 + (b // 4) * 4
-        cols0 = (mb % 8) * 16 + (b % 4) * 4
-        i = jnp.arange(cap, dtype=jnp.int32)
-        idx = jnp.stack(
-            [jnp.where(is_lac, rows0, n_g8 * 16 + (i // 32) * 4),
-             jnp.where(is_lac, cols0, (i % 32) * 4)], axis=1)
-        spare = 4 * -(-cap // 32)
-        lbuf = scatter_windows(
-            jnp.zeros((n_g8 * 16 + spare, 128), jnp.int32), idx,
-            bf_e.reshape(cap, 4, 4))
+        pid_l = rowtile_cell_ids(mb, b // 4, b % 4, 32)
+        cells_l, _ = rowtile_cell_scatter(pid_l, is_lac, bf_e, n_g8 * 128)
+        lt = rowtile_cells_to_tiles(cells_l, n_g8, 4, 32)
         # DC lane map: dc_l[8g+m, 4*by+bx] broadcast over its 4x4 patch
         dcrt = jnp.repeat(dc_l.reshape(n_g8, 8, 4, 4)
                           .transpose(0, 2, 1, 3), 4, axis=3)
         dcrt = jnp.repeat(dcrt.reshape(n_g8, 4, 128), 4, axis=1)
-        res_l = (lbuf[:n_g8 * 16].reshape(n_g8, 16, 128) + dcrt + 32) >> 6
+        res_l = (lt + dcrt + 32) >> 6
         # chroma in HALF-chunk rowtile tiles (nG, 8, 64): 8 consecutive
         # MBs' 8-px chroma rows are 64 contiguous plane pixels under the
         # same width_mbs % 8 == 0 gate (full 128-lane chunks would need
@@ -301,22 +297,16 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
         for p in range(2):
             is_cp = valid & (b >= 16 + 4 * p) & (b < 20 + 4 * p)
             blk = b - (16 + 4 * p)
-            rows0 = (mb // 8) * 8 + (blk // 2) * 4
-            cols0 = (mb % 8) * 8 + (blk % 2) * 4
-            idx = jnp.stack(
-                [jnp.where(is_cp, rows0, n_g8 * 8 + (i // 16) * 4),
-                 jnp.where(is_cp, cols0, (i % 16) * 4)], axis=1)
-            spare_c = 4 * -(-cap // 16)
-            cb_buf = scatter_windows(
-                jnp.zeros((n_g8 * 8 + spare_c, 64), jnp.int32), idx,
-                bf_e.reshape(cap, 4, 4))
+            pid_c = rowtile_cell_ids(mb, blk // 2, blk % 2, 16)
+            cells_c, _ = rowtile_cell_scatter(pid_c, is_cp, bf_e,
+                                              n_g8 * 32)
+            ct = rowtile_cells_to_tiles(cells_c, n_g8, 2, 16)
             # DC lane map: cdc[8g+m, 4p + 2by + bx] over its 4x4 patch
             dcc = jnp.repeat(cdc[:, 4 * p:4 * p + 4]
                              .reshape(n_g8, 8, 2, 2)
                              .transpose(0, 2, 1, 3), 4, axis=3)
             dcc = jnp.repeat(dcc.reshape(n_g8, 2, 64), 4, axis=1)
-            res_c.append((cb_buf[:n_g8 * 8].reshape(n_g8, 8, 64)
-                          + dcc + 32) >> 6)
+            res_c.append((ct + dcc + 32) >> 6)
         return res_l, tuple(res_c)
 
     scatter_id = jnp.where(valid & (b < 24), mb * 24 + b, n_mb * 24)

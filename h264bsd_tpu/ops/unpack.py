@@ -45,20 +45,50 @@ def scatter_unique(base_rows, ids, updates, n_rows):
                             unique_indices=True)[:n_rows]
 
 
-def scatter_windows(operand, starts, updates):
-    """Scatter 2D update windows into a 2D operand at per-entry (row,
-    col) starts. updates (cap, wr, wc); starts (cap, 2) int32, each
-    window fully in bounds and DISJOINT (unique_indices contract) —
-    callers route padding entries to distinct spare cells the way
-    scatter_unique does. Used by the luma rowtile layout (plane-chunk
-    (nG, 16, 128) tiles), where residual 4x4 blocks and MC exception
-    8x8 quads land at pixel positions instead of block rows."""
-    dnums = lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1))
-    return lax.scatter(operand, starts.astype(jnp.int32),
-                       updates.astype(operand.dtype), dnums,
-                       indices_are_sorted=False, unique_indices=True)
+def rowtile_cell_ids(mb, blk_y, blk_x, n_slots):
+    """Placement id of a 4x4 cell in the rowtile layout: group g = mb//8
+    owns a (4*n_bands, 4*n_slots) tile; the cell at pixel rows
+    4*blk_y.. and cols (mb%8)*4*spm + 4*blk_x.. (spm = slots per MB)
+    lives at row-band blk_y, lane-slot (mb%8)*spm + blk_x. Luma:
+    n_slots=32, spm=4; chroma: n_slots=16, spm=2."""
+    return (mb // 8) * (4 * n_slots) + blk_y * n_slots \
+        + (mb % 8) * (n_slots // 8) + blk_x
+
+
+def rowtile_cell_scatter(pids, valid, rows16, n_cells, dtype=jnp.int32):
+    """Scatter 4x4 cells (16-value raster rows) into the rowtile
+    placement-id domain: ONE unique-row scatter over (n_cells, 16)
+    instead of a 2D-window scatter (which lowers on TPU to a serialized
+    per-window loop, ~150 ms/frame at 1080p — the round-4 negative
+    result). Invalid/padding entries drop into distinct spare rows.
+    Returns (cells (n_cells, 16), present (n_cells,))."""
+    cap = pids.shape[0]
+    safe = jnp.where(valid, pids, n_cells + jnp.arange(cap))
+    buf = jnp.zeros((n_cells + cap, 16), dtype) \
+        .at[safe].set(rows16.astype(dtype), unique_indices=True)
+    pres = jnp.zeros((n_cells + cap,), jnp.bool_) \
+        .at[safe].set(True, unique_indices=True)
+    return buf[:n_cells], pres[:n_cells]
+
+
+def rowtile_cells_to_tiles(cells, n_g, n_bands, n_slots):
+    """(nG*n_bands*n_slots, 16) placement-domain cells -> (nG,
+    4*n_bands, 4*n_slots) pixel tiles: the single relayout that replaces
+    the window scatter. Runs in the scatter's dtype (int32 for residual
+    and quad-pixel cells: packed-u8 minor-dim shuffles are the expensive
+    relayout class on TPU, int32 moves whole lanes)."""
+    return cells.reshape(n_g, n_bands, n_slots, 4, 4) \
+        .transpose(0, 1, 3, 2, 4) \
+        .reshape(n_g, 4 * n_bands, 4 * n_slots)
+
+
+def rowtile_present_to_tiles(pres, n_g, n_bands, n_slots):
+    """(nG*n_bands*n_slots,) cell-presence -> (nG, 4*n_bands,
+    4*n_slots) pixel mask (pure broadcast, no relayout)."""
+    return jnp.broadcast_to(
+        pres.reshape(n_g, n_bands, 1, n_slots, 1),
+        (n_g, n_bands, 4, n_slots, 4)) \
+        .reshape(n_g, 4 * n_bands, 4 * n_slots)
 
 
 def scatter_present(ids, updates, n_rows, dtype=None):

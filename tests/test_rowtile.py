@@ -120,34 +120,45 @@ def test_rowtile_pcm_content():
     assert n > 0, "PCM stream must carry I_PCM macroblocks"
 
 
-def test_scatter_windows_disjoint_and_padding():
-    """scatter_windows places disjoint 2D windows at (row, col) starts;
-    padding entries routed to spare cells never leak into the live
-    region (the unique-indices contract all rowtile scatters rely on)."""
-    from h264bsd_tpu.ops.unpack import scatter_windows
+def test_rowtile_cell_scatter_placement_and_padding():
+    """The placement-id cell scatter (the round-5 replacement for the
+    serialized 2D-window scatter) must land every 4x4 block at its
+    pixel position in the tiles, report presence per cell, and keep
+    padding entries out of the live region."""
+    from h264bsd_tpu.ops.unpack import (rowtile_cell_ids,
+                                        rowtile_cell_scatter,
+                                        rowtile_cells_to_tiles,
+                                        rowtile_present_to_tiles)
 
     rng = np.random.default_rng(5)
-    live_rows, lanes, wr = 32, 128, 4
+    n_g, n_bands, n_slots = 3, 4, 32        # luma geometry, 24 MBs
+    n_cells = n_g * n_bands * n_slots
     cap = 20
-    # 12 live disjoint windows on a 4x4 grid step + 8 padding entries
-    cells = rng.choice((live_rows // wr) * (lanes // wr), 12,
-                       replace=False)
-    starts = np.stack([(cells // (lanes // wr)) * wr,
-                       (cells % (lanes // wr)) * wr], axis=1)
-    i = np.arange(cap - 12)
-    spare = np.stack([live_rows + (i // (lanes // wr)) * wr,
-                      (i % (lanes // wr)) * wr], axis=1)
-    idx = np.concatenate([starts, spare]).astype(np.int32)
-    upd = rng.integers(1, 100, (cap, wr, wr)).astype(np.int32)
-    spare_rows = wr * -(-(cap - 12) // (lanes // wr))
-    out = np.asarray(scatter_windows(
-        jnp.zeros((live_rows + spare_rows, lanes), jnp.int32),
-        jnp.asarray(idx), jnp.asarray(upd)))
-    want = np.zeros((live_rows, lanes), np.int32)
+    # 12 live blocks at distinct (mb, by, bx) placements + 8 padding
+    mb = rng.choice(8 * n_g, 12, replace=False).astype(np.int32)
+    by = rng.integers(0, 4, 12).astype(np.int32)
+    bx = rng.integers(0, 4, 12).astype(np.int32)
+    pids = np.asarray(rowtile_cell_ids(jnp.asarray(mb), jnp.asarray(by),
+                                       jnp.asarray(bx), n_slots))
+    assert len(set(pids.tolist())) == 12     # placements are unique
+    pids_full = np.concatenate([pids, np.zeros(cap - 12, np.int32)])
+    valid = np.arange(cap) < 12
+    upd = rng.integers(1, 100, (cap, 16)).astype(np.int32)
+    cells, pres = rowtile_cell_scatter(jnp.asarray(pids_full),
+                                       jnp.asarray(valid),
+                                       jnp.asarray(upd), n_cells)
+    tiles = np.asarray(rowtile_cells_to_tiles(cells, n_g, n_bands,
+                                              n_slots))
+    mask = np.asarray(rowtile_present_to_tiles(pres, n_g, n_bands,
+                                               n_slots))
+    want = np.zeros((n_g, 16, 128), np.int32)
+    wmask = np.zeros((n_g, 16, 128), bool)
     for k in range(12):
-        r, c = starts[k]
-        want[r:r + wr, c:c + wr] = upd[k]
-    np.testing.assert_array_equal(out[:live_rows], want)
-    # every live value present exactly once, padding values only in spare
-    assert out[:live_rows].sum() == upd[:12].sum()
-    assert out[live_rows:].sum() == upd[12:].sum()
+        g, m = mb[k] // 8, mb[k] % 8
+        r0, c0 = by[k] * 4, m * 16 + bx[k] * 4
+        want[g, r0:r0 + 4, c0:c0 + 4] = upd[k].reshape(4, 4)
+        wmask[g, r0:r0 + 4, c0:c0 + 4] = True
+    np.testing.assert_array_equal(tiles, want)
+    np.testing.assert_array_equal(mask, wmask)
+    # padding entries only ever reach spare rows (nothing leaked)
+    assert tiles.sum() == upd[:12].sum()

@@ -29,17 +29,20 @@ def main():
     caps, tot = pin[False][0]
     n_mbs, w_mbs, h_mbs, H, W = 8160, 120, 68, 1088, 1920
     K = 16
+    # the PRODUCTION steady-state config: rowtile layouts + carry-only
+    # scan (slot margin >= K), matching what decode_stream dispatches
+    n_slots = 5 + 16
     lowered = D._decode_window_step.lower(
         jnp.zeros((K, tot), jnp.uint32),
-        jnp.zeros((5, H, W), jnp.uint8),
-        jnp.zeros((5, H // 2, W // 2), jnp.uint8),
-        jnp.zeros((5, H // 2, W // 2), jnp.uint8),
-        jnp.zeros((n_mbs, 16, 16), jnp.uint8),
-        jnp.zeros((n_mbs, 8, 8), jnp.uint8),
-        jnp.zeros((n_mbs, 8, 8), jnp.uint8),
+        jnp.zeros((n_slots, H, W), jnp.uint8),
+        jnp.zeros((n_slots, H // 2, W // 2), jnp.uint8),
+        jnp.zeros((n_slots, H // 2, W // 2), jnp.uint8),
+        jnp.zeros((n_mbs // 8, 16, 128), jnp.uint8),
+        jnp.zeros((n_mbs // 8, 8, 64), jnp.uint8),
+        jnp.zeros((n_mbs // 8, 8, 64), jnp.uint8),
         jnp.zeros((K,), jnp.int32), jnp.zeros((K,), bool),
         jnp.full((K,), -1, jnp.int32), w_mbs, h_mbs, caps, False,
-        jnp.zeros((K, 4), jnp.int32), True, True)
+        jnp.zeros((K, 4), jnp.int32), True, True, True, False)
     txt = lowered.compile().as_text()
 
     # op name -> (source_file:line, op_name path tail)

@@ -27,7 +27,8 @@ def main():
     data = golden.stream_path("1920x1080").read_bytes()
     pin = D.pin_caps_for_stream(data)
 
-    dec = D.Decoder(caps_pin=pin)
+    # slot_margin as decode_stream sets it: windows run carry-only
+    dec = D.Decoder(caps_pin=pin, slot_margin=16)
     preps = []
     pos = 0
     while pos < len(data):

@@ -191,12 +191,16 @@ def main() -> None:
     # Timed reps run until the best stops improving (or the budget runs
     # out): the r4 artifact captured 88 fps with the run still climbing
     # monotonically at its hard 5-rep cap, underreporting steady state.
-    # Stop once the best time hasn't improved by >0.5% for 3 consecutive
-    # reps, with a floor of 5 and a generous ceiling as a runaway guard.
+    # Patience is deliberately high (no improvement for 8 reps, floor
+    # 12): the tunneled chip is time-shared, and measured fps swings
+    # ~3x with tenant contention (92 -> 252 fps across one morning), so
+    # a best-of over more ~1 s reps is how steady state is actually
+    # observed — mirroring how the scalar-C baseline is taken as the
+    # best of its (also widely spread) runs.
     best = float("inf")
     reps = 0
     stale = 0
-    while (reps < 5 or stale < 3) and reps < 60 \
+    while (reps < 12 or stale < 8) and reps < 200 \
             and time.monotonic() - T0 < BUDGET - 60:
         t0 = time.perf_counter()
         n = 0

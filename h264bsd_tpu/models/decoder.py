@@ -37,10 +37,13 @@ _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
 # row-band, lane-slot) triple is unique, so one (nG*128, 16) row
 # scatter plus a single int32 relayout
 # (ops.unpack.rowtile_cell_scatter/rowtile_cells_to_tiles) replaces the
-# window scatter. Bit-exact in tests/test_rowtile.py (interpret mode);
-# stays OFF by default until the compiled-mode hardware verification
-# passes. H264TPU_ROWTILE=1 enables.
-_ROWTILE = os.environ.get("H264TPU_ROWTILE", "0") == "1"
+# window scatter, and the plane-chunk layout's win (no minor-dim pixel
+# relayouts across MC -> residual add -> combine) stands. ON by
+# default: bit-exact in tests/test_rowtile.py (interpret mode,
+# including the randomized residual-parity sweep that caught the
+# chroma group-stride bug) AND verified bit-exact on TPU hardware
+# (bench verify pass). H264TPU_ROWTILE=0 restores the MB-grid layouts.
+_ROWTILE = os.environ.get("H264TPU_ROWTILE", "1") == "1"
 
 # intra-MB count above which a frame runs the dense anti-diagonal
 # wavefront intra pass instead of the padded-list pass. The list pass

@@ -611,7 +611,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             qd = jnp.repeat(equad, 4)
             j4 = jnp.tile(jnp.arange(4, dtype=jnp.int32), exc_cap)
             pid_l = rowtile_cell_ids(mbb, (qd // 2) * 2 + j4 // 2,
-                                     (qd % 2) * 2 + j4 % 2, 32)
+                                     (qd % 2) * 2 + j4 % 2, 4, 32)
             cells, pres = rowtile_cell_scatter(
                 pid_l, jnp.repeat(valid_q, 4), rows_l, n_g8 * 128)
             qt = rowtile_cells_to_tiles(cells, n_g8, 4, 32)
@@ -622,7 +622,7 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             # one 16-value cell row (tiny transpose on (cap, 16))
             by_c = equad // 2
             bx_c = equad % 2
-            pid_c = rowtile_cell_ids(emb, by_c, bx_c, 16)
+            pid_c = rowtile_cell_ids(emb, by_c, bx_c, 2, 16)
 
             def chroma_merge(rt, t):
                 blk2 = _tiles_to_grid(t, 128 // 8, 8, 2)[:n_blk]

@@ -280,7 +280,7 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
                              rowtile_cells_to_tiles)
         n_g8 = n_mb // 8
         is_lac = valid & (b < 16)
-        pid_l = rowtile_cell_ids(mb, b // 4, b % 4, 32)
+        pid_l = rowtile_cell_ids(mb, b // 4, b % 4, 4, 32)
         cells_l, _ = rowtile_cell_scatter(pid_l, is_lac, bf_e, n_g8 * 128)
         lt = rowtile_cells_to_tiles(cells_l, n_g8, 4, 32)
         # DC lane map: dc_l[8g+m, 4*by+bx] broadcast over its 4x4 patch
@@ -297,7 +297,7 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
         for p in range(2):
             is_cp = valid & (b >= 16 + 4 * p) & (b < 20 + 4 * p)
             blk = b - (16 + 4 * p)
-            pid_c = rowtile_cell_ids(mb, blk // 2, blk % 2, 16)
+            pid_c = rowtile_cell_ids(mb, blk // 2, blk % 2, 2, 16)
             cells_c, _ = rowtile_cell_scatter(pid_c, is_cp, bf_e,
                                               n_g8 * 32)
             ct = rowtile_cells_to_tiles(cells_c, n_g8, 2, 16)

@@ -45,13 +45,14 @@ def scatter_unique(base_rows, ids, updates, n_rows):
                             unique_indices=True)[:n_rows]
 
 
-def rowtile_cell_ids(mb, blk_y, blk_x, n_slots):
+def rowtile_cell_ids(mb, blk_y, blk_x, n_bands, n_slots):
     """Placement id of a 4x4 cell in the rowtile layout: group g = mb//8
-    owns a (4*n_bands, 4*n_slots) tile; the cell at pixel rows
-    4*blk_y.. and cols (mb%8)*4*spm + 4*blk_x.. (spm = slots per MB)
-    lives at row-band blk_y, lane-slot (mb%8)*spm + blk_x. Luma:
-    n_slots=32, spm=4; chroma: n_slots=16, spm=2."""
-    return (mb // 8) * (4 * n_slots) + blk_y * n_slots \
+    owns a (4*n_bands, 4*n_slots) tile of n_bands*n_slots cells; the
+    cell at pixel rows 4*blk_y.. and cols (mb%8)*4*spm + 4*blk_x..
+    (spm = slots per MB) lives at row-band blk_y, lane-slot
+    (mb%8)*spm + blk_x. Luma: n_bands=4, n_slots=32, spm=4; chroma:
+    n_bands=2, n_slots=16, spm=2."""
+    return (mb // 8) * (n_bands * n_slots) + blk_y * n_slots \
         + (mb % 8) * (n_slots // 8) + blk_x
 
 

@@ -120,6 +120,41 @@ def test_rowtile_pcm_content():
     assert n > 0, "PCM stream must carry I_PCM macroblocks"
 
 
+def test_rowtile_residual_parity_random():
+    """Rowtile residual tiles == the dense residual path, on RANDOM
+    sparse blocks covering every block class (luma AC, both chroma
+    planes, DC rows) across many groups. The e2e rowtile streams carry
+    few multi-group chroma AC blocks, which let a chroma placement bug
+    (group stride 4 bands instead of 2) reach hardware in round 5 —
+    this pins the layouts directly."""
+    from h264bsd_tpu.ops.reconstruct import mb_grid_to_plane
+    from h264bsd_tpu.ops.transform import residual_planes_sparse
+
+    rng = np.random.default_rng(7)
+    n_mb, w_mbs = 64, 8
+    n_g8 = n_mb // 8
+    cap = 256
+    ids = rng.choice(n_mb * 26, cap, replace=False).astype(np.int32)
+    lv = rng.integers(-30, 30, (cap, 16)).astype(np.int16)
+    args = (jnp.asarray(ids), jnp.asarray(lv),
+            jnp.full((n_mb,), 28, jnp.int32), jnp.zeros((n_mb,), jnp.int32),
+            jnp.asarray(rng.integers(0, 2, (n_mb, 3)), jnp.int32),
+            jnp.asarray(rng.integers(0, 2, n_mb).astype(bool)), n_mb)
+    rl_d, rc_d = residual_planes_sparse(*args, luma_rowtile=False)
+    rl_t, rc_t = residual_planes_sparse(*args, luma_rowtile=True)
+
+    pl_d = np.asarray(mb_grid_to_plane(rl_d, w_mbs, n_mb // w_mbs))
+    pl_t = np.asarray(rl_t.reshape(n_mb // w_mbs, 1, 16, 128)
+                      .transpose(0, 2, 1, 3).reshape(-1, 128))
+    np.testing.assert_array_equal(pl_t, pl_d)
+    for p in range(2):
+        pc_d = np.asarray(mb_grid_to_plane(rc_d[:, p], w_mbs,
+                                           n_mb // w_mbs))
+        pc_t = np.asarray(rc_t[p].reshape(n_mb // w_mbs, 1, 8, 64)
+                          .transpose(0, 2, 1, 3).reshape(-1, 64))
+        np.testing.assert_array_equal(pc_t, pc_d)
+
+
 def test_rowtile_cell_scatter_placement_and_padding():
     """The placement-id cell scatter (the round-5 replacement for the
     serialized 2D-window scatter) must land every 4x4 block at its
@@ -139,7 +174,7 @@ def test_rowtile_cell_scatter_placement_and_padding():
     by = rng.integers(0, 4, 12).astype(np.int32)
     bx = rng.integers(0, 4, 12).astype(np.int32)
     pids = np.asarray(rowtile_cell_ids(jnp.asarray(mb), jnp.asarray(by),
-                                       jnp.asarray(bx), n_slots))
+                                       jnp.asarray(bx), n_bands, n_slots))
     assert len(set(pids.tolist())) == 12     # placements are unique
     pids_full = np.concatenate([pids, np.zeros(cap - 12, np.int32)])
     valid = np.arange(cap) < 12

@@ -188,20 +188,19 @@ def main() -> None:
     RESULT["value"] = round(cold_fps, 2)
     RESULT["vs_baseline"] = round(cold_fps / ref_fps, 3) if ref_fps else 0.0
 
-    # Timed reps run until the best stops improving (or the budget runs
-    # out): the r4 artifact captured 88 fps with the run still climbing
-    # monotonically at its hard 5-rep cap, underreporting steady state.
-    # Patience is deliberately high (no improvement for 8 reps, floor
-    # 12): the tunneled chip is time-shared, and measured fps swings
-    # ~3x with tenant contention (92 -> 252 fps across one morning), so
-    # a best-of over more ~1 s reps is how steady state is actually
-    # observed — mirroring how the scalar-C baseline is taken as the
-    # best of its (also widely spread) runs.
+    # Timed reps sample the REMAINING BUDGET (the r4 artifact captured
+    # 88 fps with the run still climbing at its hard 5-rep cap and 875 s
+    # of budget unused). The tunneled chip and host are time-shared and
+    # measured fps swings ~3x with tenant contention (78 <-> 252 fps
+    # across one day at identical code); best-of over a long sampling
+    # window is how steady state is actually observed — mirroring the
+    # scalar-C baseline, which is itself taken as the best of its (also
+    # widely spread) runs. Every rep is recorded (downsampled past 24)
+    # so the artifact shows the full distribution, not just the best.
     best = float("inf")
     reps = 0
-    stale = 0
-    while (reps < 12 or stale < 8) and reps < 200 \
-            and time.monotonic() - T0 < BUDGET - 60:
+    runs = []
+    while reps < 600 and time.monotonic() - T0 < BUDGET - 45:
         t0 = time.perf_counter()
         n = 0
         last = None
@@ -210,15 +209,20 @@ def main() -> None:
             n += 1
         jax.block_until_ready(last.yuv_planes())
         dt = time.perf_counter() - t0
-        stale = stale + 1 if dt > best * 0.995 else 0
         best = min(best, dt)
         reps += 1
+        runs.append(round(n / dt, 1))
         RESULT["value"] = round(n / best, 2)
         RESULT["vs_baseline"] = round(n / best / ref_fps, 3) \
             if ref_fps else 0.0
-        RESULT.setdefault("decoder_fps_runs", []).append(round(n / dt, 1))
-        log(f"timed rep {reps}: {n} frames in {dt:.2f}s = {n / dt:.1f} fps "
-            f"(best {n / best:.1f}, stale {stale})")
+        RESULT["decoder_fps_runs"] = runs if len(runs) <= 24 else \
+            runs[:8] + runs[8::max(1, len(runs) // 16)]
+        RESULT["decoder_fps_reps"] = reps
+        RESULT["decoder_fps_median"] = sorted(runs)[len(runs) // 2]
+        if reps % 10 == 0 or reps <= 5:
+            log(f"timed rep {reps}: {n / dt:.1f} fps "
+                f"(best {n / best:.1f}, median "
+                f"{RESULT['decoder_fps_median']:.1f})")
 
     emit_once()
 

@@ -37,13 +37,17 @@ _MC_MODE = os.environ.get("H264TPU_MC", "auto")   # auto | pallas | xla
 # row-band, lane-slot) triple is unique, so one (nG*128, 16) row
 # scatter plus a single int32 relayout
 # (ops.unpack.rowtile_cell_scatter/rowtile_cells_to_tiles) replaces the
-# window scatter, and the plane-chunk layout's win (no minor-dim pixel
-# relayouts across MC -> residual add -> combine) stands. ON by
-# default: bit-exact in tests/test_rowtile.py (interpret mode,
-# including the randomized residual-parity sweep that caught the
-# chroma group-stride bug) AND verified bit-exact on TPU hardware
-# (bench verify pass). H264TPU_ROWTILE=0 restores the MB-grid layouts.
-_ROWTILE = os.environ.get("H264TPU_ROWTILE", "1") == "1"
+# window scatter. MEASURED OUTCOME (round 5, same-process A/B xplane
+# traces on a 16-frame 1080p window): the fix removes the 14x
+# catastrophe and the path is bit-exact on hardware (bench verify
+# pass), but rowtile is perf-NEUTRAL at best — 8.4-8.7 ms/frame module
+# time vs 8.3 for the MB-grid layouts. The relayouts it eliminates
+# were already being fused/cheapened by XLA, while the placement-domain
+# scatters pay ~40 ns/entry over cap-sized streams per plane domain.
+# Default OFF on the measurement; H264TPU_ROWTILE=1 selects the tile
+# layouts (kept tested: tests/test_rowtile.py incl. the randomized
+# residual-parity sweep that caught the chroma group-stride bug).
+_ROWTILE = os.environ.get("H264TPU_ROWTILE", "0") == "1"
 
 # intra-MB count above which a frame runs the dense anti-diagonal
 # wavefront intra pass instead of the padded-list pass. The list pass
@@ -787,7 +791,7 @@ class Decoder:
         return msgs
 
 
-def pin_caps_for_stream(data: bytes, typical_pct: float = 90.0) -> dict:
+def pin_caps_for_stream(data: bytes, typical_pct: float = 75.0) -> dict:
     """Dry-parse a stream (C++ front-end only, no device work) and return
     a {wavefront_class: [(typical_caps, total_words),
     (max_caps, total_words)]} pin — pass as Decoder(caps_pin=...) so the
@@ -798,12 +802,19 @@ def pin_caps_for_stream(data: bytes, typical_pct: float = 90.0) -> dict:
     through several).
 
     TWO tiers per class because cap size is not just padding: the
-    device-side sparse-residual scatter costs ~73 ns per CAP row on a
-    v5e, so typical frames must not pay the worst frame's caps. The
+    device-side sparse-residual scatter costs ~40-73 ns per CAP row on
+    a v5e, so typical frames must not pay the worst frame's caps. The
     typical tier covers `typical_pct` percent of the class's frames
     (per-component percentile); the rest use the max tier. Each tier's
     compact-blob total is the max need of the frames assigned to it
-    (first tier they fit), so the transfer ships content, not caps."""
+    (first tier they fit), so the transfer ships content, not caps.
+
+    Default 75 (round-5 measurement, 1080p): vs the round-4 default of
+    90 the typical P tier shrinks from 12032 to 8704 residual rows,
+    saving 0.49 ms/frame of module time (8.30 -> 7.81, same-process
+    xplane A/B) and 16% of the typical blob (178 -> 149 KB); the extra
+    window fragmentation from ~25% of P frames riding the max tier was
+    e2e-neutral in the same A/B."""
     from ..ops.unpack import compact_blob_words
     d = fe.FrontendDecoder(no_output_reordering=True)
     per: dict = {}

@@ -69,8 +69,11 @@ from .pallas_util import lane_roll_narrow
 G = int(_os.environ.get("H264TPU_DEBLOCK_G", "8"))
 LN = 32 * G    # luma tile lanes (and chroma: 32-lane cb|cr slots)
 # groups per grid step (tunable: fewer grid steps amortize the per-step
-# scalar prologue; more steps pipeline input-map streaming better)
-GC = int(_os.environ.get("H264TPU_DEBLOCK_GC", "8"))
+# scalar prologue; more steps pipeline input-map streaming better).
+# Round-5 sweep on a real 1080p P frame (tools/sweep_deblock.py,
+# chained in-jit x16): GC=16 4.31 ms vs GC=8 4.44 / GC=32 4.39 —
+# a small but repeatable win.
+GC = int(_os.environ.get("H264TPU_DEBLOCK_GC", "16"))
 PT = 8         # top padding rows (scratch)
 PL = 128       # left padding lanes (scratch)
 # smeta columns: [0:G] r, [G:2G] c, [2G:3G] effective,

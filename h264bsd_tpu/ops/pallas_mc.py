@@ -603,8 +603,14 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
                                  rowtile_present_to_tiles)
             valid_q = exc_ids < n_mb * 4
 
-            # luma: per-block cells. Kernel block j of quad q sits at
-            # 4x4-block coords (2*(q//2) + j//2, 2*(q%2) + j%2) in the MB
+            # ONE scatter over the unified [luma | cb | cr] placement
+            # domain (separate per-plane scatters each pay the full
+            # entry-stream cost). Luma: per-block cells — kernel block j
+            # of quad q sits at 4x4-block coords (2*(q//2) + j//2,
+            # 2*(q%2) + j%2) in the MB; a chroma quad IS one 4x4 cell,
+            # assembled from its four 2x2 kernel blocks by a tiny
+            # (cap, 16) transpose.
+            n_cl, n_cc = n_g8 * 128, n_g8 * 32
             blk_l = _tiles_to_grid(ey, 128 // CWIN, CWIN, 4)[:n_blk]
             rows_l = blk_l.reshape(n_blk, 16)
             mbb = jnp.repeat(emb, 4)
@@ -612,30 +618,33 @@ def _mc_predict_group(dpb_y, dpb_cb, dpb_cr, mv, ref_slot, exc_ids,
             j4 = jnp.tile(jnp.arange(4, dtype=jnp.int32), exc_cap)
             pid_l = rowtile_cell_ids(mbb, (qd // 2) * 2 + j4 // 2,
                                      (qd % 2) * 2 + j4 % 2, 4, 32)
-            cells, pres = rowtile_cell_scatter(
-                pid_l, jnp.repeat(valid_q, 4), rows_l, n_g8 * 128)
-            qt = rowtile_cells_to_tiles(cells, n_g8, 4, 32)
-            mask = rowtile_present_to_tiles(pres, n_g8, 4, 32)
-            uy_rt = jnp.where(mask, qt.astype(jnp.uint8), uy_rt)
+            pid_c = n_cl + rowtile_cell_ids(emb, equad // 2, equad % 2,
+                                            2, 16)
 
-            # chroma: assemble each quad's four 2x2 kernel blocks into
-            # one 16-value cell row (tiny transpose on (cap, 16))
-            by_c = equad // 2
-            bx_c = equad % 2
-            pid_c = rowtile_cell_ids(emb, by_c, bx_c, 2, 16)
-
-            def chroma_merge(rt, t):
+            def q16(t):
                 blk2 = _tiles_to_grid(t, 128 // 8, 8, 2)[:n_blk]
-                q16 = blk2.reshape(exc_cap, 2, 2, 2, 2) \
+                return blk2.reshape(exc_cap, 2, 2, 2, 2) \
                     .transpose(0, 1, 3, 2, 4).reshape(exc_cap, 16)
-                c, p = rowtile_cell_scatter(pid_c, valid_q, q16,
-                                            n_g8 * 32)
-                ct = rowtile_cells_to_tiles(c, n_g8, 2, 16)
-                m = rowtile_present_to_tiles(p, n_g8, 2, 16)
-                return jnp.where(m, ct.astype(jnp.uint8), rt)
 
-            cb_rt = chroma_merge(cb_rt, ecb)
-            cr_rt = chroma_merge(cr_rt, ecr)
+            pids = jnp.concatenate([pid_l, pid_c, n_cc + pid_c])
+            vall = jnp.concatenate([jnp.repeat(valid_q, 4), valid_q,
+                                    valid_q])
+            ups = jnp.concatenate([rows_l, q16(ecb), q16(ecr)])
+            cells, pres = rowtile_cell_scatter(pids, vall, ups,
+                                               n_cl + 2 * n_cc)
+            qt = rowtile_cells_to_tiles(cells[:n_cl], n_g8, 4, 32)
+            mask_l = rowtile_present_to_tiles(pres[:n_cl], n_g8, 4, 32)
+            cbt = rowtile_cells_to_tiles(cells[n_cl:n_cl + n_cc],
+                                         n_g8, 2, 16)
+            crt = rowtile_cells_to_tiles(cells[n_cl + n_cc:], n_g8, 2, 16)
+            # cb and cr share placements and validity -> one mask
+            mask_c = rowtile_present_to_tiles(pres[n_cl:n_cl + n_cc],
+                                              n_g8, 2, 16)
+            # int32 out: the combine consumes int32 pred anyway, so the
+            # merge skips converting the scattered tiles to u8 and back
+            uy_rt = jnp.where(mask_l, qt, uy_rt.astype(jnp.int32))
+            cb_rt = jnp.where(mask_c, cbt, cb_rt.astype(jnp.int32))
+            cr_rt = jnp.where(mask_c, crt, cr_rt.astype(jnp.int32))
             return uy_rt, cb_rt, cr_rt
 
         grid_y = quad_merge(grid_y, blocks_to_quads(ey, CWIN, 4), 4)

@@ -229,15 +229,17 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
     # dense DC arrays from the sparse DC entries (AC/padding entries are
     # remapped to distinct spare rows so the scatter keeps truly unique
     # indices — XLA's fast path; a shared spare row is the slow generic
-    # scatter and UB under unique_indices)
+    # scatter and UB under unique_indices). ONE scatter over the stacked
+    # [luma DC | chroma DC] domain: separate per-kind scatters each
+    # walk the full cap-sized entry stream (scatter cost is per entry)
     from .unpack import scatter_unique
     lv32 = sparse_levels.astype(jnp.int32)
-    ldc_raw = scatter_unique(jnp.zeros((n_mb, 16), jnp.int32),
-                             jnp.where(valid & (b == 24), mb, n_mb),
-                             lv32, n_mb)
-    cdc_raw = scatter_unique(jnp.zeros((n_mb, 16), jnp.int32),
-                             jnp.where(valid & (b == 25), mb, n_mb),
-                             lv32, n_mb)[:, :8]
+    dc_id = jnp.where(valid & (b == 24), mb,
+                      jnp.where(valid & (b == 25), n_mb + mb, 2 * n_mb))
+    dc_buf = scatter_unique(jnp.zeros((2 * n_mb, 16), jnp.int32),
+                            dc_id, lv32, 2 * n_mb)
+    ldc_raw = dc_buf[:n_mb]
+    cdc_raw = dc_buf[n_mb:, :8]
 
     ldc = jnp.where((nnz_dc[:, 0] > 0)[:, None],
                     luma_dc_transform(ldc_raw, qp_y), ldc_raw)
@@ -279,10 +281,21 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
         from .unpack import (rowtile_cell_ids, rowtile_cell_scatter,
                              rowtile_cells_to_tiles)
         n_g8 = n_mb // 8
+        # ONE scatter over the unified [luma | cb | cr] placement
+        # domain: per-plane scatters each walked the full cap-sized
+        # entry stream, tripling the per-entry scatter cost (the
+        # single biggest glue item of the round-5 attr trace)
+        n_cl, n_cc = n_g8 * 128, n_g8 * 32
         is_lac = valid & (b < 16)
-        pid_l = rowtile_cell_ids(mb, b // 4, b % 4, 4, 32)
-        cells_l, _ = rowtile_cell_scatter(pid_l, is_lac, bf_e, n_g8 * 128)
-        lt = rowtile_cells_to_tiles(cells_l, n_g8, 4, 32)
+        is_chr = valid & (b >= 16) & (b < 24)
+        blk_c = (b - 16) & 3
+        pid = jnp.where(
+            is_lac, rowtile_cell_ids(mb, b // 4, b % 4, 4, 32),
+            n_cl + jnp.where(b >= 20, n_cc, 0)
+            + rowtile_cell_ids(mb, blk_c // 2, blk_c % 2, 2, 16))
+        cells, _ = rowtile_cell_scatter(pid, is_lac | is_chr, bf_e,
+                                        n_cl + 2 * n_cc)
+        lt = rowtile_cells_to_tiles(cells[:n_cl], n_g8, 4, 32)
         # DC lane map: dc_l[8g+m, 4*by+bx] broadcast over its 4x4 patch
         dcrt = jnp.repeat(dc_l.reshape(n_g8, 8, 4, 4)
                           .transpose(0, 2, 1, 3), 4, axis=3)
@@ -295,12 +308,9 @@ def residual_planes_sparse(sparse_ids, sparse_levels, qp_y,
         # tile stacks; the plane is again a major-dim reshape away.
         res_c = []
         for p in range(2):
-            is_cp = valid & (b >= 16 + 4 * p) & (b < 20 + 4 * p)
-            blk = b - (16 + 4 * p)
-            pid_c = rowtile_cell_ids(mb, blk // 2, blk % 2, 2, 16)
-            cells_c, _ = rowtile_cell_scatter(pid_c, is_cp, bf_e,
-                                              n_g8 * 32)
-            ct = rowtile_cells_to_tiles(cells_c, n_g8, 2, 16)
+            ct = rowtile_cells_to_tiles(
+                cells[n_cl + p * n_cc:n_cl + (p + 1) * n_cc],
+                n_g8, 2, 16)
             # DC lane map: cdc[8g+m, 4p + 2by + bx] over its 4x4 patch
             dcc = jnp.repeat(cdc[:, 4 * p:4 * p + 4]
                              .reshape(n_g8, 8, 2, 2)

@@ -44,10 +44,14 @@ step. Cross-frame wavefront overlap (stripe k of frame f concurrent
 with stripe k+1 of frame f-1 — legal because vertical MV reach is
 bounded by ~8 MB rows, less than a stripe) would recover throughput but
 turns the step into a multi-frame pipelined scan with per-stripe DPB
-row propagation; it is NOT implemented. Use this axis when a single
-stream's frame LATENCY or per-device memory is the constraint, and the
-gop/multistream axes (0.84-0.90+ efficiency, same artifact) for
-throughput scaling. The step's output frame is assembled from the
+row propagation. ROUND-5 DESIGN DECISION: that overlap is deliberately
+NOT implemented and this axis is formally scoped as a LATENCY/MEMORY
+tool — the gop/multistream axes (0.84-0.90+ efficiency, same
+artifact) are the throughput answer, and real streams give them
+closed GOPs every few dozen frames; the overlap machinery would buy
+throughput those axes already deliver at a fraction of the
+complexity. See README "Scaling-axis guidance". The step stays fully
+tested and bit-exact. The step's output frame is assembled from the
 stripe results by an all_gather along the axis (the DPB handoff
 collective) and stored into every device's DPB replica.
 

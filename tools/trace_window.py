@@ -48,7 +48,10 @@ def main():
                 if not p["wavefront"] and i > 2)
     win = [p for p in preps
            if p["caps"] == head["caps"] and
-           p["wavefront"] == head["wavefront"]][:16]
+           p["wavefront"] == head["wavefront"] and
+           p["used_slots"].shape == head["used_slots"].shape and
+           p["blob"].nbytes == head["blob"].nbytes and
+           p["rowtile"] == head["rowtile"]][:16]
     print(f"{len(win)} frames in traced window", flush=True)
 
     dec._ensure_dpb()

@@ -320,6 +320,9 @@ class OutputPicture:
     crop: tuple         # (left, width, top, height)
     _dpb: tuple         # DPB arrays snapshot (immutable device arrays)
     _slot: int
+    # VUI video_full_range_flag of the stream (used by render sinks to
+    # pick the RGB matrix, reference wasm/h264bsd_canvas.js YUV shader)
+    full_range: bool = False
 
     def yuv_planes(self):
         # lazy: slicing dispatches device work only when a consumer asks
@@ -710,7 +713,8 @@ class Decoder:
             num_err_mbs=out["num_err_mbs"],
             width=g["width_mbs"] * 16, height=g["height_mbs"] * 16,
             crop=crop, _dpb=self._dpb if planes is None else planes,
-            _slot=out["slot"] if index is None else index)
+            _slot=out["slot"] if index is None else index,
+            full_range=bool(g.get("full_range", 0)))
 
     # -- metadata (reference decoder.c:771-1105) ---------------------------
 

@@ -37,12 +37,15 @@ def pytest_collection_modifyitems(config, items):
     any coverage.
     """
     def is_big(it):
-        # test_rowtile compiles the largest interpret-mode programs of
-        # all (full rowtile decode steps with Pallas MC+intra+deblock in
-        # interpret mode) — round 4's gw3 segfault was exactly these
-        # running LAST on a compile-saturated worker
-        return ("test_rowtile" in str(it.fspath)
-                or "test_pallas" in str(it.fspath))
+        # Files whose tests compile the big whole-frame programs
+        # (interpret-mode Pallas decode steps, sharded/vmapped decode
+        # bodies). The round-4/5 worker segfaults were always one of
+        # these running LAST on a compile-saturated worker (observed in
+        # turn on rowtile, rowshard, multistream); standalone-young runs
+        # of the same files always pass, so they all go first.
+        heavy = ("test_rowtile", "test_rowshard", "test_pallas",
+                 "test_multistream", "test_framepipe")
+        return any(h in str(it.fspath) for h in heavy)
 
     front = [it for it in items if is_big(it)]
     rest = [it for it in items if not is_big(it)]

@@ -58,6 +58,14 @@ def main(argv=None):
                     help="per-pixel compare against a golden YUV file "
                          "(reference -c semantics)")
     ap.add_argument("--rgba", type=Path, help="dump RGBA frames")
+    ap.add_argument("--render", type=Path, metavar="DIR",
+                    help="render each output picture to DIR/frame_%%05d"
+                         ".ppm (cropped, BT.601 device conversion with "
+                         "the stream's full-range flag) — the display-"
+                         "sink analogue of the reference's WebGL canvas "
+                         "renderer (wasm/h264bsd_canvas.js:241 "
+                         "drawNextOutputPicture), as viewable files "
+                         "instead of GL draws")
     ap.add_argument("-r", "--repeat", action="store_true",
                     help="decode in an infinite loop (soak test)")
     args = ap.parse_args(argv)
@@ -67,6 +75,8 @@ def main(argv=None):
 
     out_f = open(args.output, "wb") if args.output else None
     rgba_f = open(args.rgba, "wb") if args.rgba else None
+    if args.render:
+        args.render.mkdir(parents=True, exist_ok=True)
     state = {"frame": 0, "diffs": 0, "crop_bytes": None}
 
     def on_picture(pic):
@@ -77,6 +87,16 @@ def main(argv=None):
             out_f.write(yuv)
         if rgba_f:
             rgba_f.write(pic.rgba().tobytes())
+        if args.render:
+            # crop is (left, width, top, height); full_range comes from
+            # the stream's VUI exactly as the canvas renderer would use
+            left, w, top, h = crop
+            rgb = pic.rgba(full_range=pic.full_range) \
+                [top:top + h, left:left + w, :3]
+            p = args.render / f"frame_{state['frame']:05d}.ppm"
+            with open(p, "wb") as f:
+                f.write(b"P6\n%d %d\n255\n" % (w, h))
+                f.write(rgb.tobytes())
         if golden is not None:
             ref = golden[state["frame"] * n:(state["frame"] + 1) * n]
             diffs = 0

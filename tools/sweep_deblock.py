@@ -19,7 +19,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
-    from functools import partial
 
     from h264bsd_tpu.frontend import binding as fe
     from h264bsd_tpu.models import decoder as D
